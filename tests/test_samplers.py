@@ -1,0 +1,138 @@
+"""Compiled sampler + CFG + loss tests (sde_score_model.py:358-569 contracts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from toycrystals_tpu.models import (
+    CondUNetTiny,
+    DiffusionPriorFiLM,
+    DiffusionSchedule,
+    VPSDE,
+    diffusion_loss_eps,
+    predict_eps_cfg,
+    sample_probability_flow_ode,
+    sample_reverse_sde_euler_maruyama,
+)
+from toycrystals_tpu.models.diffusion_prior import ddim_sample
+from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
+
+K = jax.random.key(0)
+
+
+def _tiny_unet():
+    u = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x = jnp.zeros((2, 16, 16, 1))
+    v = u.init(K, x, jnp.zeros((2,)), jnp.array([0, 1]), jnp.zeros((2, 4)))
+    apply_fn = lambda p, xt, t, yc, yv: u.apply(p, xt, t, yc, yv)
+    return apply_fn, v
+
+
+def test_cfg_zero_is_single_conditional_pass():
+    """cfg <= 0 returns the conditional eps, NOT unconditional
+    (sde_score_model.py:415-416)."""
+    apply_fn, v = _tiny_unet()
+    x = jax.random.normal(K, (2, 16, 16, 1))
+    t = jnp.full((2,), 0.5)
+    ycat = jnp.array([0, 1])
+    ycont = jnp.ones((2, 4))
+    out0 = predict_eps_cfg(apply_fn, v, x, t, ycat, ycont, 0.0, 4)
+    direct = apply_fn(v, x, t, ycat, ycont)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(direct), atol=1e-6)
+
+
+def test_cfg_combine_formula():
+    """eps = eps_u + s (eps_c - eps_u) with fused doubled-batch forward
+    (sde_score_model.py:418-423)."""
+    apply_fn, v = _tiny_unet()
+    x = jax.random.normal(K, (2, 16, 16, 1))
+    t = jnp.full((2,), 0.5)
+    ycat = jnp.array([0, 1])
+    ycont = jnp.ones((2, 4))
+    s = 1.5
+    got = predict_eps_cfg(apply_fn, v, x, t, ycat, ycont, s, 4)
+    eps_c = apply_fn(v, x, t, ycat, ycont)
+    eps_u = apply_fn(v, x, t, jnp.full((2,), 4), jnp.zeros((2, 4)))
+    want = eps_u + s * (eps_c - eps_u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_cfg_one_equals_conditional():
+    """s=1 collapses to the conditional prediction."""
+    apply_fn, v = _tiny_unet()
+    x = jax.random.normal(K, (2, 16, 16, 1))
+    t = jnp.full((2,), 0.3)
+    ycat = jnp.array([2, 3])
+    ycont = jnp.zeros((2, 4))
+    got = predict_eps_cfg(apply_fn, v, x, t, ycat, ycont, 1.0, 4)
+    want = apply_fn(v, x, t, ycat, ycont)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_loss_finite_and_tpower():
+    apply_fn, v = _tiny_unet()
+    sde = VPSDE(0.1, 30.0)
+    x0 = jax.random.uniform(K, (4, 16, 16, 1))
+    ycat = jnp.array([0, 1, 2, 3])
+    ycont = jnp.zeros((4, 4))
+    for tp in (1.0, 2.0):
+        l = diffusion_loss_eps(apply_fn, v, sde, x0, ycat, ycont, K, 4, 0.1, tp)
+        assert np.isfinite(float(l))
+
+
+@pytest.mark.parametrize("sampler", ["sde", "ode"])
+def test_samplers_shape_range_determinism(sampler):
+    apply_fn, v = _tiny_unet()
+    sde = VPSDE(0.1, 30.0)
+    ycat, ycont = sample_grid_conditions(4, 4, 4)
+    fn = (
+        sample_reverse_sde_euler_maruyama if sampler == "sde" else sample_probability_flow_ode
+    )
+    out = fn(apply_fn, v, sde, ycat, ycont, (4, 16, 16, 1), K, n_steps=5, guidance_scale=1.5)
+    arr = np.asarray(out)
+    assert arr.shape == (4, 16, 16, 1)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    out2 = fn(apply_fn, v, sde, ycat, ycont, (4, 16, 16, 1), K, n_steps=5, guidance_scale=1.5)
+    np.testing.assert_array_equal(arr, np.asarray(out2))  # same key -> same samples
+    out3 = fn(
+        apply_fn, v, sde, ycat, ycont, (4, 16, 16, 1), jax.random.key(7), n_steps=5,
+        guidance_scale=1.5,
+    )
+    assert not np.allclose(arr, np.asarray(out3))
+
+
+def test_sampler_rejects_bad_t_end():
+    apply_fn, v = _tiny_unet()
+    sde = VPSDE()
+    ycat, ycont = sample_grid_conditions(2, 4, 4)
+    with pytest.raises(ValueError):
+        sample_probability_flow_ode(
+            apply_fn, v, sde, ycat, ycont, (2, 16, 16, 1), K, n_steps=2, t_end=0.0
+        )
+
+
+def test_ddim_deterministic_and_converges_shape():
+    pr = DiffusionPriorFiLM(z_dim=8, n_types=4, y_cont_dim=4, width=32, n_blocks=1)
+    z = jnp.zeros((3, 8))
+    ycat = jnp.array([0, 1, 2])
+    ycont = jnp.zeros((3, 4))
+    v = pr.init(K, z, jnp.array([0, 0, 0]), ycat, ycont)
+    apply_fn = lambda p, zt, t, yc, yv: pr.apply(p, zt, t, yc, yv)
+    sched = DiffusionSchedule.linear(50, 1e-4, 0.05)
+    z1 = ddim_sample(apply_fn, v, sched, ycat, ycont, 10, 8, K)
+    z2 = ddim_sample(apply_fn, v, sched, ycat, ycont, 10, 8, K)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    assert z1.shape == (3, 8)
+    with pytest.raises(NotImplementedError):
+        ddim_sample(apply_fn, v, sched, ycat, ycont, 10, 8, K, 0.5)
+
+
+def test_grid_conditions_convention():
+    """6x6 grids cycle types and sweep theta (train_vae.py:92-98 et al.)."""
+    ycat, ycont = sample_grid_conditions(36, 4, 4)
+    assert np.array_equal(np.asarray(ycat[:8]), np.array([0, 1, 2, 3, 0, 1, 2, 3]))
+    th = np.asarray(ycont[:, 1])
+    assert th[0] == 0.0 and abs(th[-1] - np.pi / 3) < 1e-6
+    assert np.all(np.diff(th) > 0)
+    assert np.all(np.asarray(ycont[:, [0, 2, 3]]) == 0)

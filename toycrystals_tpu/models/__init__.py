@@ -1,0 +1,35 @@
+from toycrystals_tpu.models.vae import CondVAE, VAE, kl_stats
+from toycrystals_tpu.models.diffusion_prior import (
+    DiffusionPrior,
+    DiffusionPriorFiLM,
+    DiffusionSchedule,
+    timestep_embedding_discrete,
+)
+from toycrystals_tpu.models.sde_score_model import (
+    CondUNetTiny,
+    ConditionEmbedding,
+    VPSDE,
+    timestep_embedding_continuous,
+    diffusion_loss_eps,
+    predict_eps_cfg,
+    sample_probability_flow_ode,
+    sample_reverse_sde_euler_maruyama,
+)
+
+__all__ = [
+    "CondVAE",
+    "VAE",
+    "kl_stats",
+    "DiffusionPrior",
+    "DiffusionPriorFiLM",
+    "DiffusionSchedule",
+    "timestep_embedding_discrete",
+    "CondUNetTiny",
+    "ConditionEmbedding",
+    "VPSDE",
+    "timestep_embedding_continuous",
+    "diffusion_loss_eps",
+    "predict_eps_cfg",
+    "sample_probability_flow_ode",
+    "sample_reverse_sde_euler_maruyama",
+]
