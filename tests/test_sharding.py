@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh (conftest).
+
+Validates the GSPMD data-parallel story from SURVEY.md §5: batch sharded over
+'data', params replicated, gradients all-reduced by XLA — same numerics as
+single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from toycrystals_tpu.data import LatticeConfig, generate_batch
+from toycrystals_tpu.models import CondUNetTiny, VPSDE, sample_reverse_sde_euler_maruyama
+from toycrystals_tpu.parallel import data_sharding, make_mesh, replicate, shard_batch
+from toycrystals_tpu.train import create_train_state, make_sde_train_step
+
+K = jax.random.key(0)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_train_step_matches_single_device():
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    b, hw = 16, 16
+    x = jax.random.uniform(jax.random.key(1), (b, hw, hw, 1))
+    ycat = jnp.arange(b, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((b, 4))
+    params = model.init(K, x, jnp.zeros((b,)), ycat, ycont)["params"]
+    # SGD so the parameter delta is linear in the gradient: Adam's first-step
+    # normalisation g/(|g|+eps) amplifies fp reduction-order noise on near-zero
+    # gradients into O(lr) differences, which is not a sharding bug.
+    tx = optax.sgd(1e-2)
+    sde = VPSDE(0.1, 30.0)
+    step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.0, t_power=1.0, ema_decay=0.0)
+
+    # single device
+    s1 = create_train_state(params, tx)
+    s1, loss1 = step(s1, x, ycat, ycont, K)
+
+    # 8-way data parallel
+    mesh = make_mesh()
+    s2 = replicate(mesh, create_train_state(params, tx))
+    xb, cb, vb = shard_batch(mesh, (x, ycat, ycont))
+    assert xb.sharding.spec[0] == "data"
+    s2, loss2 = step(s2, xb, cb, vb, K)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    l1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    l2 = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_sampling_batch():
+    """shard_map-style sharded sampling: batch split over chips, result gathers."""
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    b, hw = 16, 16
+    x = jnp.zeros((b, hw, hw, 1))
+    ycat = jnp.arange(b, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((b, 4))
+    params = model.init(K, x, jnp.zeros((b,)), ycat, ycont)["params"]
+    apply_fn = lambda p, xt, t, yc, yv: model.apply({"params": p}, xt, t, yc, yv)
+    sde = VPSDE(0.1, 30.0)
+
+    mesh = make_mesh()
+    pr = replicate(mesh, params)
+    ycat_s = jax.device_put(ycat, data_sharding(mesh, 1))
+    ycont_s = jax.device_put(ycont, data_sharding(mesh, 2))
+    out = sample_reverse_sde_euler_maruyama(
+        apply_fn, pr, sde, ycat_s, ycont_s, (b, hw, hw, 1), K, n_steps=3, guidance_scale=1.5
+    )
+    assert out.shape == (b, hw, hw, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_datagen():
+    """On-device procedural generation shards over the batch axis."""
+    cfg = LatticeConfig(rot_only=True)
+    mesh = make_mesh()
+    idx = jax.device_put(jnp.arange(16), data_sharding(mesh, 1))
+    x, y_cat, y_cont = generate_batch(cfg, seed=0, idx=idx)
+    assert x.shape == (16, 64, 64, 1)
+    # must equal unsharded generation
+    x2, _, _ = generate_batch(cfg, seed=0, idx=jnp.arange(16))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x2), atol=1e-6)

@@ -1,0 +1,104 @@
+"""Train-step tests: losses go down, EMA tracks, bucket diagnostics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from toycrystals_tpu.models import (
+    CondUNetTiny,
+    CondVAE,
+    DiffusionPriorFiLM,
+    DiffusionSchedule,
+    VPSDE,
+)
+from toycrystals_tpu.train import (
+    create_train_state,
+    make_prior_train_step,
+    make_sde_train_step,
+    make_vae_train_step,
+)
+
+K = jax.random.key(0)
+
+
+def _fake_batch(b=8, hw=16):
+    x = jax.random.uniform(jax.random.key(1), (b, hw, hw, 1))
+    y_cat = jnp.arange(b, dtype=jnp.int32) % 4
+    y_cont = jnp.zeros((b, 4))
+    return x, y_cat, y_cont
+
+
+def test_vae_step_decreases_loss():
+    model = CondVAE(z_dim=8)
+    x, ycat, ycont = _fake_batch(b=4, hw=64)  # VAE is a fixed 64->4->64 stack (vae.py:18-43)
+    params = model.init({"params": K, "reparam": K}, x, ycat, ycont)["params"]
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    step = make_vae_train_step(model, tx, free_bits=0.05)
+    losses = []
+    for i in range(30):
+        state, m = step(state, x, ycat, ycont, jnp.float32(3e-4), jax.random.fold_in(K, i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 30
+    # free bits floor: kl_used >= free_bits * z_dim
+    assert float(m["kl"]) >= 0.05 * 8 - 1e-5
+    assert float(m["kl"]) >= float(m["kl_raw"]) - 1e-5
+
+
+def test_sde_step_ema_tracks():
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x, ycat, ycont = _fake_batch()
+    params = model.init(K, x, jnp.zeros((8,)), ycat, ycont)["params"]
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx, ema=True)
+    sde = VPSDE(0.1, 30.0)
+    step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1, t_power=1.0, ema_decay=0.5)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    for i in range(5):
+        state, loss = step(state, x, ycat, ycont, jax.random.fold_in(K, i))
+    assert np.isfinite(float(loss))
+    # EMA lags params: ema != params but closer to params than init after steps
+    leaf_p = np.asarray(jax.tree.leaves(state.params)[0])
+    leaf_e = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    assert not np.allclose(leaf_p, leaf_e)
+    d_pe = np.abs(leaf_p - leaf_e).mean()
+    d_p0 = np.abs(leaf_p - np.asarray(p0)).mean()
+    assert d_pe < d_p0 + 1e-6
+
+
+def test_sde_step_no_ema():
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x, ycat, ycont = _fake_batch()
+    params = model.init(K, x, jnp.zeros((8,)), ycat, ycont)["params"]
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx, ema=False)
+    assert state.ema_params is None
+    assert state.sample_params is state.params
+    sde = VPSDE()
+    step = make_sde_train_step(model, tx, sde, 4, 0.1, 1.0, 0.0)
+    state, loss = step(state, x, ycat, ycont, K)
+    assert state.ema_params is None
+
+
+def test_prior_step_buckets():
+    model = DiffusionPriorFiLM(z_dim=8, n_types=4, y_cont_dim=4, width=32, n_blocks=1)
+    z = jax.random.normal(K, (64, 8))
+    ycat = jnp.arange(64, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((64, 4))
+    params = model.init(K, z, jnp.zeros((64,), jnp.int32), ycat, ycont)["params"]
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    sched = DiffusionSchedule.linear(200, 1e-4, 1.0)
+    step = make_prior_train_step(model, tx, T=200)
+    state, m = step(state, sched, z, ycat, ycont, K)
+    bs, bn = np.asarray(m["bucket_sum"]), np.asarray(m["bucket_n"])
+    assert bn.sum() == 64  # every sample lands in exactly one bucket
+    assert np.isfinite(bs).all()
+    # u^2 bias: low-t buckets get more samples on average — weak check over keys
+    tot_low = 0.0
+    for i in range(5):
+        _, m = step(state, sched, z, ycat, ycont, jax.random.fold_in(K, i))
+        tot_low += float(np.asarray(m["bucket_n"])[0])
+    assert tot_low / 5 > 64 / 4  # bucket 0 over-represented vs uniform

@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers for multi-chip scale-out.
+
+The reference is strictly single-process/single-device (SURVEY.md §2
+"parallelism audit": no torch.distributed / NCCL anywhere). The TPU-native
+equivalent is GSPMD over a 1-D `jax.sharding.Mesh` on the ICI ring:
+
+- training: batch sharded over the 'data' axis, params replicated; jitting
+  the train step under these shardings makes XLA insert the gradient
+  all-reduce (psum over ICI) automatically;
+- sampling: the big sample batch is sharded the same way, so a 4096-image
+  grid on a v5e-8 runs 512 images/chip with zero cross-chip traffic until
+  the host gather.
+
+Validated on an 8-device virtual CPU mesh in tests and via
+`__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """1-D mesh over the first n devices (all by default)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"asked for {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim, replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """device_put every leaf with its leading dim sharded over the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)), batch
+    )
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree (params / train state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

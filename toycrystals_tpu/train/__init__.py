@@ -1,0 +1,14 @@
+from toycrystals_tpu.train.state import TrainState, create_train_state
+from toycrystals_tpu.train.steps import (
+    make_vae_train_step,
+    make_prior_train_step,
+    make_sde_train_step,
+)
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "make_vae_train_step",
+    "make_prior_train_step",
+    "make_sde_train_step",
+]

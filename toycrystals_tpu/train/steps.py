@@ -1,0 +1,153 @@
+"""Jitted train steps for the three pipelines.
+
+Each factory closes over the static pieces (model, optimiser, loss
+hyper-parameters) and returns ONE compiled function with the train state
+donated — params, optimiser state and EMA update all in-place in HBM. Under a
+`jax.sharding.Mesh` with the batch sharded over the 'data' axis, GSPMD inserts
+the gradient all-reduce automatically (SURVEY.md §5 "distributed comms").
+
+Loss semantics mirror the reference trainers:
+- VAE: MSE recon + beta_eff * free-bits KL, beta warm-up factor supplied by
+  the caller per epoch (`/root/reference/scripts/train_vae.py:292-321`).
+- prior: t = clamp((u^2 T), 0, T-1) small-t bias, q_sample, eps-MSE, with
+  4-bucket-over-t diagnostic losses (`train_diffusion_prior.py:240-277`).
+- SDE: `diffusion_loss_eps` with CFG dropout + in-step EMA
+  (`train_sde_score_model.py:212-243`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from toycrystals_tpu.models.sde_score_model import VPSDE, diffusion_loss_eps
+from toycrystals_tpu.models.vae import kl_stats
+from toycrystals_tpu.train.state import TrainState, ema_update
+
+
+def _apply_updates(state: TrainState, grads: Any, tx: optax.GradientTransformation):
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return new_params, new_opt
+
+
+def make_vae_train_step(
+    model, tx: optax.GradientTransformation, free_bits: float, uncond: bool = False
+) -> Callable:
+    """Returns step(state, x, y_cat, y_cont, beta_eff, key) -> (state, metrics).
+
+    beta_eff is the warmed-up KL weight beta * min(1, (epoch+1)/5)
+    (`train_vae.py:311`), passed as a traced scalar so epochs don't recompile.
+    """
+
+    def loss_fn(params, x, y_cat, y_cont, beta_eff, key):
+        k_rep, k_drop = jax.random.split(key)
+        rngs = {"reparam": k_rep, "cond_drop": k_drop}
+        if uncond:
+            x_hat, mu, logvar = model.apply({"params": params}, x, train=True, rngs=rngs)
+        else:
+            x_hat, mu, logvar = model.apply(
+                {"params": params}, x, y_cat, y_cont, train=True, rngs=rngs
+            )
+        recon = jnp.mean((x_hat - x) ** 2)
+        kl_used, kl_raw = kl_stats(mu, logvar, free_bits)
+        loss = recon + beta_eff * kl_used
+        return loss, {"loss": loss, "recon": recon, "kl": kl_used, "kl_raw": kl_raw}
+
+    @jax.jit
+    def step(state: TrainState, x, y_cat, y_cont, beta_eff, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, x, y_cat, y_cont, beta_eff, key)
+        new_params, new_opt = _apply_updates(state, grads, tx)
+        return (
+            state.replace(step=state.step + 1, params=new_params, opt_state=new_opt),
+            metrics,
+        )
+
+    return step
+
+
+def make_prior_train_step(model, tx: optax.GradientTransformation, T: int) -> Callable:
+    """Returns step(state, z0n, y_cat, y_cont, key) -> (state, metrics).
+
+    metrics include per-t-bucket sums/counts for the reference's 4-bucket
+    diagnostic (`train_diffusion_prior.py:242-270`); the caller accumulates
+    them across batches and divides once per epoch.
+    """
+    from toycrystals_tpu.models.diffusion_prior import DiffusionSchedule
+
+    def loss_fn(params, sched: DiffusionSchedule, z0n, y_cat, y_cont, key):
+        b = z0n.shape[0]
+        k_t, k_eps = jax.random.split(key)
+        u = jax.random.uniform(k_t, (b,))
+        t = jnp.clip((u**2 * T).astype(jnp.int32), 0, T - 1)  # small-t bias (`:254-256`)
+        eps = jax.random.normal(k_eps, z0n.shape, z0n.dtype)
+        z_t = sched.q_sample(z0n, t, eps)
+        eps_pred = model.apply({"params": params}, z_t, t, y_cat, y_cont)
+        per = jnp.mean((eps_pred - eps) ** 2, axis=1)  # [B]
+        loss = jnp.mean(per)
+        q = jnp.clip((t.astype(jnp.float32) / T * 4).astype(jnp.int32), 0, 3)
+        bucket_sum = jnp.zeros(4).at[q].add(per)
+        bucket_n = jnp.zeros(4).at[q].add(1.0)
+        return loss, {"loss": loss, "bucket_sum": bucket_sum, "bucket_n": bucket_n}
+
+    @jax.jit
+    def step(state: TrainState, sched, z0n, y_cat, y_cont, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, sched, z0n, y_cat, y_cont, key)
+        new_params, new_opt = _apply_updates(state, grads, tx)
+        return (
+            state.replace(step=state.step + 1, params=new_params, opt_state=new_opt),
+            metrics,
+        )
+
+    return step
+
+
+def make_sde_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    sde: VPSDE,
+    n_types: int,
+    p_uncond: float,
+    t_power: float,
+    ema_decay: float,
+) -> Callable:
+    """Returns step(state, x0, y_cat, y_cont, key) -> (state, loss).
+
+    EMA lerp happens inside the compiled step on the donated state
+    (vs the reference's eager per-parameter Python loop,
+    `train_sde_score_model.py:236-240`).
+    """
+    apply_fn = lambda params, x_t, t, y_cat, y_cont: model.apply(
+        {"params": params}, x_t, t, y_cat, y_cont
+    )
+
+    def loss_fn(params, x0, y_cat, y_cont, key):
+        return diffusion_loss_eps(
+            apply_fn, params, sde, x0, y_cat, y_cont, key, n_types, p_uncond, t_power
+        )
+
+    @jax.jit
+    def step(state: TrainState, x0, y_cat, y_cont, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x0, y_cat, y_cont, key)
+        new_params, new_opt = _apply_updates(state, grads, tx)
+        new_ema = (
+            ema_update(state.ema_params, new_params, ema_decay)
+            if state.ema_params is not None
+            else None
+        )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                ema_params=new_ema,
+            ),
+            loss,
+        )
+
+    return step

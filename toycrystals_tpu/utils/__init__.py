@@ -1,0 +1,4 @@
+from toycrystals_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from toycrystals_tpu.utils.metrics import append_jsonl, ensure_file
+
+__all__ = ["save_checkpoint", "load_checkpoint", "append_jsonl", "ensure_file"]
