@@ -1,0 +1,63 @@
+"""Shared CLI plumbing for the scripts/ entry points.
+
+Keeps the reference's argparse `main() -> int` style (SURVEY.md §1 L2) while
+adding the TPU-native bits: platform selection (--device tpu|cpu, with the
+same graceful fallback the reference has for CUDA, `train_vae.py:250-254`)
+and resident-on-device disk datasets (the whole archive lives in HBM as u8;
+batches are on-device gathers, no host loop per step).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def select_device(device: str) -> str:
+    """'tpu' | 'cpu' | 'auto'. Falls back to cpu when no TPU is available."""
+    if device == "auto":
+        device = "tpu" if any(d.platform == "tpu" for d in jax.devices()) else "cpu"
+        return device
+    if device == "tpu":
+        try:
+            if not any(d.platform == "tpu" for d in jax.devices()):
+                raise RuntimeError
+        except Exception:
+            print("TPU not available; using cpu")
+            jax.config.update("jax_platforms", "cpu")
+            return "cpu"
+        return "tpu"
+    jax.config.update("jax_platforms", device)
+    return device
+
+
+class ResidentDiskDataset:
+    """Disk archive resident in device memory: u8 images + labels.
+
+    `gather(idx)` returns a batch as (x f32 [B,H,W,1] in [0,1], y_cat, y_cont)
+    entirely on device — the TPU-equivalent of the reference's DataLoader over
+    `ToyCrystalsDiskDataset` (`disk_data.py:27-31`).
+    """
+
+    def __init__(self, path: str | Path) -> None:
+        obj = np.load(Path(path))
+        self.x_u8 = jnp.asarray(obj["x_u8"])
+        self.y_cat = jnp.asarray(obj["y_cat"].astype(np.int32))
+        self.y_cont = jnp.asarray(obj["y_cont"].astype(np.float32))
+        self.n = int(self.x_u8.shape[0])
+
+    def __len__(self) -> int:
+        return self.n
+
+    def gather(self, idx) -> tuple[jax.Array, jax.Array, jax.Array]:
+        idx = jnp.asarray(idx)
+        x = self.x_u8[idx].astype(jnp.float32) / 255.0
+        return x, self.y_cat[idx], self.y_cont[idx]
