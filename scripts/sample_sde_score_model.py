@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Standalone sampler from an SDE score-model checkpoint.
+
+Same flag surface and conventions as the reference
+(`/root/reference/scripts/sample_sde_score_model.py:19-135`): checkpoint
+resolution (direct path or "last"/"best" under <out-dir>/checkpoints/), model
+rebuilt from the checkpoint's embedded config with CLI fallback, --use-ema,
+ode|sde sampler choice, and an auto output name encoding the settings. The
+whole denoising loop runs as one compiled lax.scan program with fused CFG.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+from _common import select_device  # noqa: E402
+
+
+def _infer_ckpt_path(out_dir: str, ckpt: str) -> str:
+    if ckpt.endswith((".msgpack", ".pt")):
+        return ckpt
+    if ckpt == "last":
+        return os.path.join(out_dir, "checkpoints", "sde_score_model_last.msgpack")
+    if ckpt == "best":
+        return os.path.join(out_dir, "checkpoints", "sde_score_model_best.msgpack")
+    raise ValueError("ckpt must be a .msgpack path or one of: last, best")
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--device", default="auto", choices=["cpu", "tpu", "auto"])
+    p.add_argument("--out-dir", required=True, help="Training output dir containing checkpoints/")
+    p.add_argument("--ckpt", default="last", help="Checkpoint: last, best, or path/to/file.msgpack")
+
+    # sampling knobs
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--cfg", type=float, default=0.0)
+    p.add_argument("--t-end", type=float, default=1e-3)
+    p.add_argument("--theta-max", type=float, default=math.pi / 3.0)
+    p.add_argument("--n", type=int, default=36)
+    p.add_argument("--use-ema", type=int, default=0, choices=[0, 1],
+                   help="If checkpoint has EMA weights, sample using them.")
+    p.add_argument("--sampler", type=str, default="ode", choices=["ode", "sde"])
+    p.add_argument("--seed", type=int, default=0)
+
+    # fallback model config (only used if checkpoint has no config)
+    p.add_argument("--n-types", type=int, default=4)
+    p.add_argument("--y-cont-dim", type=int, default=4)
+    p.add_argument("--base-ch", type=int, default=96)
+    p.add_argument("--emb-dim", type=int, default=128)
+    p.add_argument("--cond-ch", type=int, default=8)
+    p.add_argument("--time-ch", type=int, default=8)
+
+    # fallback SDE config
+    p.add_argument("--beta-min", type=float, default=0.1)
+    p.add_argument("--beta-max", type=float, default=30.0)
+
+    p.add_argument("--out-path", default=None, help="Where to save the sample grid png")
+    args = p.parse_args()
+    select_device(args.device)
+
+    import jax
+
+    from toycrystals_tpu.models import (
+        CondUNetTiny,
+        VPSDE,
+        sample_probability_flow_ode,
+        sample_reverse_sde_euler_maruyama,
+    )
+    from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
+    from toycrystals_tpu.utils import load_checkpoint
+    from toycrystals_tpu.utils.figures import save_image_grid
+
+    ckpt_path = _infer_ckpt_path(args.out_dir, args.ckpt)
+    if not os.path.exists(ckpt_path):
+        raise FileNotFoundError(f"Checkpoint not found: {ckpt_path}")
+
+    payload = load_checkpoint(ckpt_path)
+
+    cfg = payload.get("config") or {
+        "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
+        "base_ch": args.base_ch, "emb_dim": args.emb_dim, "cond_ch": args.cond_ch,
+        "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
+    }
+
+    model = CondUNetTiny(
+        n_types=int(cfg["n_types"]), y_cont_dim=int(cfg["y_cont_dim"]),
+        base_ch=int(cfg["base_ch"]), emb_dim=int(cfg["emb_dim"]),
+        cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
+    )
+    state = payload["state"]
+    params = state["params"]
+    if args.use_ema == 1 and state.get("ema_params") is not None:
+        params = state["ema_params"]
+
+    sde = VPSDE(
+        beta_min=float(cfg.get("beta_min", 0.1)),
+        beta_max=float(cfg.get("beta_max", 30.0)),
+    )
+
+    if args.out_path is None:
+        os.makedirs(os.path.join(args.out_dir, "results"), exist_ok=True)
+        base = os.path.splitext(os.path.basename(ckpt_path))[0]
+        args.out_path = os.path.join(
+            args.out_dir, "results",
+            f"samples_ckpt-{base}_steps{args.steps}_cfg{args.cfg:.2f}"
+            f"_tend{args.t_end:g}_sampler{args.sampler}_ema{args.use_ema}.png",
+        )
+
+    apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+    y_cat, y_cont = sample_grid_conditions(
+        args.n, int(cfg["n_types"]), int(cfg["y_cont_dim"]), args.theta_max
+    )
+    sampler_fn = (
+        sample_probability_flow_ode if args.sampler == "ode"
+        else sample_reverse_sde_euler_maruyama
+    )
+    x = sampler_fn(
+        apply_fn, params, sde, y_cat, y_cont, (args.n, 64, 64, 1),
+        jax.random.key(args.seed), n_steps=args.steps,
+        guidance_scale=args.cfg, t_end=args.t_end, n_types=int(cfg["n_types"]),
+    )
+    side = int(math.ceil(math.sqrt(args.n)))
+    save_image_grid(
+        x, args.out_path, nrows=side, ncols=side,
+        suptitle=f"{args.sampler} | steps={args.steps} | cfg={args.cfg:.2f} | t_end={args.t_end:g}",
+    )
+    print(f"Saved samples -> {args.out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

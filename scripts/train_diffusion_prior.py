@@ -1,0 +1,226 @@
+#!/usr/bin/env python3
+"""Train the latent diffusion prior on cached (frozen-)VAE latents.
+
+Same flag surface and pipeline as the reference
+(`/root/reference/scripts/train_diffusion_prior.py:108-316`): frozen VAE from
+checkpoint, latent cache built once (z = mu or a posterior sample) and
+standardised per-dim, FiLM prior (n_blocks=8, y_cat_emb_dim=64 hardcoded like
+the trainer, `:196-204`), small-t-biased timesteps t = clamp((u^2 T), 0, T-1),
+per-t-bucket diagnostic losses, DDIM(eta=0) sample grid decoded through the
+frozen VAE every epoch, --resume / --sample-only.
+
+TPU-first: the latent cache is built by a jitted batched encode sweep; the
+DDIM loop is one compiled lax.scan (`toycrystals_tpu.models.diffusion_prior`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from _common import ResidentDiskDataset, select_device  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", type=str, default="auto")
+    p.add_argument("--data-path", type=str, default="data/toycrystals_train_rotonly.npz")
+    p.add_argument("--procedural", action="store_true",
+                   help="rasterize rot-only batches on device (no image archive)")
+    # Load frozen VAE
+    p.add_argument("--vae-ckpt", type=str, default="checkpoints/vae_last.msgpack")
+    p.add_argument("--z-dim", type=int, default=32)
+    p.add_argument("--n-types", type=int, default=4)
+    p.add_argument("--y-cont-dim", type=int, default=4)
+    # Latent dataset
+    p.add_argument("--z-target", type=str, choices=["mu", "sample"], default="mu")
+    p.add_argument("--latent-cache", type=str, default="data/latents_rotonly_mu.npz")
+    p.add_argument("--rebuild-latents", action="store_true")
+    p.add_argument("--max-items", type=int, default=50_000)
+    # Diffusion
+    p.add_argument("--T", type=int, default=200)
+    p.add_argument("--beta-start", type=float, default=1e-4)
+    p.add_argument("--beta-end", type=float, default=1.0)
+    p.add_argument("--t-emb-dim", type=int, default=64)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=600)
+    p.add_argument("--lr", type=float, default=1e-4)
+    # Sampling
+    p.add_argument("--ddim-steps", type=int, default=50)
+    p.add_argument("--prior-ckpt", type=str, default="checkpoints/diffusion_prior_last.msgpack")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--sample-only", action="store_true")
+    p.add_argument("--sample-every", type=int, default=1,
+                   help="epochs between sample grids (reference samples every epoch)")
+    args = p.parse_args()
+    select_device(args.device)
+
+    import flax.serialization as ser
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
+    from toycrystals_tpu.models import CondVAE, DiffusionPriorFiLM, DiffusionSchedule
+    from toycrystals_tpu.models.diffusion_prior import ddim_sample
+    from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
+    from toycrystals_tpu.train import create_train_state, make_prior_train_step
+    from toycrystals_tpu.utils import load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves, type_titles
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.key(args.seed)
+
+    os.makedirs("results", exist_ok=True)
+    os.makedirs("checkpoints", exist_ok=True)
+    os.makedirs("data", exist_ok=True)
+
+    # --- frozen VAE (`train_diffusion_prior.py:154-159`) ---
+    vae = CondVAE(z_dim=args.z_dim, n_types=args.n_types,
+                  y_cont_dim=args.y_cont_dim, cond_drop=0.0)
+    vae_obj = load_checkpoint(args.vae_ckpt)
+    vae_params = vae_obj["params"] if "params" in vae_obj else vae_obj
+    vae_z_dim = args.z_dim
+
+    @jax.jit
+    def encode_mu_logvar(x, y_cat, y_cont):
+        return vae.apply({"params": vae_params}, x, y_cat, y_cont, method="encode")
+
+    @jax.jit
+    def vae_decode(z, y_cat, y_cont):
+        return vae.apply({"params": vae_params}, z, y_cat, y_cont, method="decode")
+
+    # --- latent dataset (`train_diffusion_prior.py:17-59,161-187`) ---
+    if (not args.rebuild_latents) and os.path.exists(args.latent_cache):
+        obj = np.load(args.latent_cache)
+        z0 = jnp.asarray(obj["z0"])
+        y_cat = jnp.asarray(obj["y_cat"].astype(np.int32))
+        y_cont = jnp.asarray(obj["y_cont"].astype(np.float32))
+        z_mean = jnp.asarray(obj["z_mean"]) if "z_mean" in obj else jnp.mean(z0, 0, keepdims=True)
+        z_std = (jnp.asarray(obj["z_std"]) if "z_std" in obj
+                 else jnp.clip(jnp.std(z0, 0, keepdims=True), min=1e-6))
+        print(f"loaded latents: {args.latent_cache}  z0={tuple(z0.shape)}")
+    else:
+        if args.procedural or not args.data_path:
+            cfg = LatticeConfig(img_size=64, n_types=args.n_types, rot_only=True)
+            n_items = args.max_items
+
+            def get_batch(idx):
+                return generate_batch(cfg, args.seed, jnp.asarray(idx))
+        else:
+            ds = ResidentDiskDataset(args.data_path)
+            n_items = min(len(ds), args.max_items)
+            get_batch = ds.gather
+
+        zs, cats, conts = [], [], []
+        t0 = time.perf_counter()
+        for start in range(0, n_items, 512):
+            idx = np.arange(start, min(start + 512, n_items))
+            x, yc, yv = get_batch(idx)
+            mu, logvar = encode_mu_logvar(x, yc, yv)
+            if args.z_target == "mu":
+                z = mu
+            else:
+                key, sub = jax.random.split(key)
+                z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(sub, mu.shape)
+            zs.append(z)
+            cats.append(yc)
+            conts.append(yv)
+        z0 = jnp.concatenate(zs)
+        y_cat = jnp.concatenate(cats)
+        y_cont = jnp.concatenate(conts)
+        z_mean = jnp.mean(z0, axis=0, keepdims=True)
+        z_std = jnp.clip(jnp.std(z0, axis=0, keepdims=True), min=1e-6)
+        np.savez(args.latent_cache, z0=np.asarray(z0), y_cat=np.asarray(y_cat),
+                 y_cont=np.asarray(y_cont), z_mean=np.asarray(z_mean),
+                 z_std=np.asarray(z_std))
+        print(f"saved latents: {args.latent_cache}  z0={tuple(z0.shape)} "
+              f"({time.perf_counter() - t0:.1f}s)")
+
+    # Standardise for diffusion training (`train_diffusion_prior.py:190`).
+    z0_norm = (z0 - z_mean) / z_std
+    n_items = int(z0_norm.shape[0])
+
+    # --- prior + schedule (`train_diffusion_prior.py:196-212`) ---
+    prior = DiffusionPriorFiLM(
+        z_dim=vae_z_dim, n_types=args.n_types, y_cont_dim=args.y_cont_dim,
+        t_emb_dim=args.t_emb_dim, width=args.width, n_blocks=8, y_cat_emb_dim=64,
+    )
+    sched = DiffusionSchedule.linear(args.T, args.beta_start, args.beta_end)
+
+    params = prior.init(
+        key, jnp.zeros((2, vae_z_dim)), jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2,), jnp.int32), jnp.zeros((2, args.y_cont_dim)),
+    )["params"]
+    tx = optax.adam(args.lr)
+    state = create_train_state(params, tx)
+    step = make_prior_train_step(prior, tx, T=args.T)
+
+    if (args.sample_only or args.resume) and os.path.exists(args.prior_ckpt):
+        raw = load_checkpoint(args.prior_ckpt)
+        state = state.replace(params=ser.from_state_dict(state.params, raw["params"]))
+        print(f"loaded diffusion prior: {args.prior_ckpt}")
+
+    prior_apply = lambda prm, z, t, yc, yv: prior.apply({"params": prm}, z, t, yc, yv)
+
+    def save_samples(out_path):
+        yg_cat, yg_cont = sample_grid_conditions(36, args.n_types, args.y_cont_dim)
+        key_s = jax.random.key(args.seed + 1)
+        z_norm = ddim_sample(prior_apply, state.params, sched, yg_cat, yg_cont,
+                             args.ddim_steps, vae_z_dim, key_s)
+        z = z_norm * z_std + z_mean  # un-standardise (`train_diffusion_prior.py:92-93`)
+        x = vae_decode(z, yg_cat, yg_cont)
+        save_image_grid(x, out_path, titles=type_titles(yg_cat))
+
+    if args.sample_only:
+        save_samples("results/diffusion_samples.png")
+        print("sample-only: saved results/diffusion_samples.png")
+        return 0
+
+    loss_hist = []
+    print("starting diffusion training loop.")
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        metrics = []
+        for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+            bidx = jnp.asarray(bidx)
+            key, sub = jax.random.split(key)
+            state, m = step(state, sched, z0_norm[bidx], y_cat[bidx], y_cont[bidx], sub)
+            metrics.append(m)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)
+        avg = float(jnp.mean(stacked["loss"]))
+        bucket_sum = np.asarray(jnp.sum(stacked["bucket_sum"], axis=0))
+        bucket_n = np.asarray(jnp.sum(stacked["bucket_n"], axis=0))
+        dt = time.perf_counter() - t0
+        loss_hist.append(avg)
+        print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
+              f"({len(metrics) * args.batch_size / dt:.0f} z/s)")
+
+        save_checkpoint(args.prior_ckpt, {
+            "params": state.params,
+            "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
+                       "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
+                       "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
+                       "T": args.T, "beta_start": args.beta_start,
+                       "beta_end": args.beta_end},
+        })
+
+        if (epoch + 1) % args.sample_every == 0 or epoch == args.epochs - 1:
+            save_samples("results/diffusion_samples.png")
+
+        bucket_avg = bucket_sum / np.maximum(bucket_n, 1.0)
+        print("  bucket loss (low t -> high t):", [f"{v:.3f}" for v in bucket_avg])
+
+    save_loss_curves({"diffusion_loss": loss_hist}, "results/diffusion_loss.png")
+    print("saved: results/diffusion_samples.png, results/diffusion_loss.png, "
+          f"{args.prior_ckpt}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,223 @@
+#!/usr/bin/env python3
+"""Train the VP-SDE score model (conditional tiny U-Net, eps-prediction).
+
+Same flag surface, run-dir/checkpoint/metrics conventions as the reference
+(`/root/reference/scripts/train_sde_score_model.py:82-298`): timestamped run
+dirs under runs/sde_score/, a rich self-describing checkpoint
+{epoch_next, state (params/opt/ema), loss_hist, config}, --resume, EMA,
+append-only metrics.jsonl, periodic sample grids and a final loss curve.
+
+TPU-first: one jitted donated train step with the EMA lerp inside
+(`train_sde_score_model.py:236-240` is an eager Python loop), disk archive
+resident in HBM or --procedural on-device rasterization, and sample grids
+from the compiled lax.scan samplers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+from _common import ResidentDiskDataset, select_device  # noqa: E402
+
+
+def _make_run_name(args) -> str:
+    ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+    return (
+        f"{ts}_lr{args.lr:.2e}_ch{args.base_ch}"
+        f"_b{args.beta_max:g}_tp{args.t_power:g}_pu{args.p_uncond:g}"
+    )
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--device", type=str, default="auto")
+    p.add_argument("--data-path", type=str, default="data/toycrystals_train_rotonly.npz")
+    p.add_argument("--procedural", action="store_true",
+                   help="rasterize rot-only batches on device, no files")
+    p.add_argument("--n-samples", type=int, default=50_000,
+                   help="items per epoch when --procedural")
+
+    # Output
+    p.add_argument("--out-dir", type=str, default=None,
+                   help="Run output directory. If omitted, a timestamped run dir is "
+                        "created under runs/sde_score/")
+    p.add_argument("--resume", action="store_true")
+
+    # Model
+    p.add_argument("--n-types", type=int, default=4)
+    p.add_argument("--y-cont-dim", type=int, default=4)
+    p.add_argument("--base-ch", type=int, default=96)
+    p.add_argument("--emb-dim", type=int, default=128)
+    p.add_argument("--cond-ch", type=int, default=8)
+    p.add_argument("--time-ch", type=int, default=8)
+
+    # SDE schedule
+    p.add_argument("--beta-min", type=float, default=0.1)
+    p.add_argument("--beta-max", type=float, default=30.0)
+
+    # Training
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--p-uncond", type=float, default=0.1)
+    p.add_argument("--t-power", type=float, default=1.0,
+                   help="Sample t as t=u**t_power. >1 biases towards small t.")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="0 disables EMA. Typical: 0.999 or 0.9999")
+
+    # Sampling during training
+    p.add_argument("--sample-every", type=int, default=10000)
+    p.add_argument("--sample-steps", type=int, default=200)
+    p.add_argument("--cfg", type=float, default=0)
+    p.add_argument("--t-end", type=float, default=1e-3)
+    p.add_argument("--sample-from-ema", type=int, default=1, choices=[0, 1],
+                   help="If EMA enabled, save sample grids using EMA weights.")
+
+    args = p.parse_args()
+    select_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
+    from toycrystals_tpu.models import (
+        CondUNetTiny,
+        VPSDE,
+        sample_probability_flow_ode,
+    )
+    from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
+    from toycrystals_tpu.train import create_train_state, make_sde_train_step
+    from toycrystals_tpu.utils import append_jsonl, ensure_file, load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves
+
+    if args.out_dir is None:
+        args.out_dir = os.path.join("runs", "sde_score", _make_run_name(args))
+    print(f"run dir: {args.out_dir}")
+
+    results_dir = os.path.join(args.out_dir, "results")
+    ckpt_dir = os.path.join(args.out_dir, "checkpoints")
+    os.makedirs(results_dir, exist_ok=True)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    metrics_path = os.path.join(args.out_dir, "metrics.jsonl")
+    ckpt_path = os.path.join(ckpt_dir, "sde_score_model_last.msgpack")
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.key(args.seed)
+
+    # --- data ---
+    img_size = 64
+    if args.procedural or not args.data_path:
+        cfg = LatticeConfig(img_size=img_size, n_types=args.n_types, rot_only=True)
+        n_items = args.n_samples
+
+        def get_batch(idx):
+            return generate_batch(cfg, args.seed, jnp.asarray(idx))
+    else:
+        ds = ResidentDiskDataset(args.data_path)
+        n_items = len(ds)
+        img_size = int(ds.x_u8.shape[1])
+        get_batch = ds.gather
+
+    # --- model + sde + state ---
+    model = CondUNetTiny(
+        n_types=args.n_types, y_cont_dim=args.y_cont_dim, base_ch=args.base_ch,
+        emb_dim=args.emb_dim, cond_ch=args.cond_ch, time_ch=args.time_ch,
+    )
+    sde = VPSDE(beta_min=args.beta_min, beta_max=args.beta_max)
+
+    dummy = (
+        jnp.zeros((2, img_size, img_size, 1)),
+        jnp.zeros((2,)),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, args.y_cont_dim)),
+    )
+    params = model.init(key, *dummy)["params"]
+    tx = optax.adam(args.lr)
+    if args.ema_decay != 0.0 and not (0.0 < args.ema_decay < 1.0):
+        raise ValueError("--ema-decay must be in (0,1) or 0 to disable.")
+    state = create_train_state(params, tx, ema=args.ema_decay > 0.0)
+    step = make_sde_train_step(
+        model, tx, sde, args.n_types, args.p_uncond, args.t_power, args.ema_decay
+    )
+
+    # Self-describing config embedded in the ckpt (`train_sde_score_model.py:179-192`).
+    config = {
+        "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
+        "base_ch": args.base_ch, "emb_dim": args.emb_dim, "cond_ch": args.cond_ch,
+        "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
+        "t_power": args.t_power, "p_uncond": args.p_uncond,
+    }
+
+    start_epoch = 0
+    loss_hist: list[float] = []
+    if args.resume and os.path.exists(ckpt_path):
+        import flax.serialization as ser
+
+        raw = load_checkpoint(ckpt_path)  # raw nested dict (variable-length lists)
+        state = ser.from_state_dict(state, raw["state"])
+        start_epoch = int(raw["epoch_next"])
+        hist = raw.get("loss_hist", [])
+        loss_hist = [float(v) for v in (hist.values() if isinstance(hist, dict) else hist)]
+        if start_epoch > 0:
+            print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
+
+    apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+
+    def save_samples(out_path, sample_state):
+        prm = sample_state.sample_params if args.sample_from_ema == 1 else sample_state.params
+        y_cat, y_cont = sample_grid_conditions(36, args.n_types, args.y_cont_dim)
+        # in-training grids use the ODE sampler, like the reference's
+        # save_sde_samples default (`sde_score_model.py:312`)
+        x = sample_probability_flow_ode(
+            apply_fn, prm, sde, y_cat, y_cont, (36, img_size, img_size, 1),
+            jax.random.key(args.seed + 1), n_steps=args.sample_steps,
+            guidance_scale=args.cfg, t_end=args.t_end,
+        )
+        save_image_grid(
+            x, out_path,
+            suptitle=f"ode | steps={args.sample_steps} | cfg={args.cfg:.2f} | t_end={args.t_end:g}",
+        )
+
+    print("starting SDE score-model training loop.")
+    ensure_file(metrics_path)
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+            x0, y_cat, y_cont = get_batch(bidx)
+            key, sub = jax.random.split(key)
+            state, loss = step(state, x0, y_cat, y_cont, sub)
+            losses.append(loss)
+        avg = float(jnp.mean(jnp.stack(losses)))
+        dt = time.perf_counter() - t0
+        loss_hist.append(avg)
+        ips = len(losses) * args.batch_size / dt
+        print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")
+
+        save_checkpoint(ckpt_path, {
+            "epoch_next": epoch + 1, "state": state,
+            "loss_hist": loss_hist, "config": config,
+        })
+        append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
+
+        if ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1):
+            out_path = os.path.join(results_dir, f"sde_samples_epoch_{epoch + 1:03d}.png")
+            save_samples(out_path, state)
+            print(f"  saved: {out_path}")
+
+    save_loss_curves({"eps_mse": loss_hist}, os.path.join(results_dir, "sde_loss.png"))
+    print(f"saved: {os.path.join(results_dir, 'sde_loss.png')}")
+    print(f"checkpoint: {ckpt_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
