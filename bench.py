@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 64x64 samples/sec/chip at 300-step reverse-SDE + CFG.
+
+Measures the BASELINE.json north-star metric: the fully compiled reverse-SDE
+Euler-Maruyama sampler (one lax.scan; CFG cond/uncond fused into a doubled
+batch; EMA-style params folded in) on the flagship CondUNetTiny (base_ch=96,
+the reference's trained config). The reference executes the same math as an
+eager PyTorch loop of 602 sequential U-Net calls per grid
+(`/root/reference/src/toycrystals/models/sde_score_model.py:543-569`).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N / 5000}
+vs_baseline is the ratio to the driver-supplied north-star target
+(>= 5000 img/s/chip on v5e); the reference publishes no numbers (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--cfg", type=float, default=1.5)
+    p.add_argument("--t-end", type=float, default=0.005)
+    p.add_argument("--base-ch", type=int, default=96)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache: the 300-step scan is a big program and the
+    # remote-TPU compile is minutes cold / instant warm.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/toycrystals_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from toycrystals_tpu.models import CondUNetTiny, VPSDE, sample_reverse_sde_euler_maruyama
+    from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch, emb_dim=128,
+                         dtype=dtype)
+    sde = VPSDE(0.1, 30.0)
+
+    b = args.batch
+    y_cat, y_cont = sample_grid_conditions(b, 4, 4)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
+    )["params"]
+    apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+
+    def run(key):
+        return sample_reverse_sde_euler_maruyama(
+            apply_fn, params, sde, y_cat, y_cont, (b, 64, 64, 1), key,
+            n_steps=args.steps, guidance_scale=args.cfg, t_end=args.t_end,
+        )
+
+    print(
+        f"bench: backend={jax.default_backend()} batch={b} steps={args.steps} "
+        f"cfg={args.cfg} dtype={args.dtype} base_ch={args.base_ch}",
+        file=sys.stderr,
+    )
+    # jax.device_get forces completion — block_until_ready alone does not
+    # reliably block on tunneled-TPU platforms.
+    t0 = time.perf_counter()
+    jax.device_get(run(jax.random.key(0)))  # compile + warmup
+    print(f"compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.perf_counter()
+        jax.device_get(run(jax.random.key(i + 1)))
+        times.append(time.perf_counter() - t0)
+        print(f"run {i}: {times[-1]:.3f}s ({b / times[-1]:.1f} img/s)", file=sys.stderr)
+    ips = b / min(times)
+
+    print(json.dumps({
+        "metric": "64x64_samples_per_sec_per_chip_300step_reverse_sde_cfg",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / 5000.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,121 @@
+"""End-to-end CLI integration tests at tiny scale (SURVEY.md §4).
+
+Each script runs as a subprocess on CPU and must produce its artefact
+contract: archives, checkpoints, metrics.jsonl, figure pngs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPTS = REPO / "scripts"
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=1",
+)
+
+
+def run(script, *flags, cwd):
+    cmd = [sys.executable, str(SCRIPTS / script), "--device", "cpu", *flags]
+    r = subprocess.run(cmd, cwd=cwd, env=ENV, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+def test_01_build_dataset(workdir):
+    run(
+        "build_dataset.py", "--n-samples", "64", "--img-size", "32",
+        "--out", "data/train.npz", "--batch-size", "64", cwd=workdir,
+    )
+    assert (workdir / "data/train.npz").exists()
+    import numpy as np
+
+    obj = np.load(workdir / "data/train.npz")
+    assert obj["x_u8"].shape == (64, 32, 32, 1)
+    assert obj["x_u8"].dtype == np.uint8
+    assert obj["y_cat"].shape == (64,)
+    assert obj["y_cont"].shape == (64, 4)
+
+
+def test_02_preview(workdir):
+    run("preview_data.py", "--img-size", "32", cwd=workdir)
+    assert (workdir / "results/preview_toycrystals.png").exists()
+
+
+def test_03_train_vae(workdir):
+    run(
+        "train_vae.py", "--procedural", "--n-samples", "128", "--epochs", "1",
+        "--batch-size", "32", "--z-dim", "8", cwd=workdir,
+    )
+    assert (workdir / "checkpoints/vae_last.msgpack").exists()
+    for f in ("vae_recon.png", "vae_samples_prior.png", "vae_samples_mop.png", "vae_loss.png"):
+        assert (workdir / "results" / f).exists(), f
+
+
+def test_04_train_diffusion_prior(workdir):
+    run(
+        "train_diffusion_prior.py", "--procedural", "--max-items", "128",
+        "--epochs", "1", "--width", "64", "--z-dim", "8",
+        "--latent-cache", "data/latents.npz", "--ddim-steps", "5",
+        "--batch-size", "32", cwd=workdir,
+    )
+    assert (workdir / "checkpoints/diffusion_prior_last.msgpack").exists()
+    assert (workdir / "data/latents.npz").exists()
+    assert (workdir / "results/diffusion_samples.png").exists()
+    assert (workdir / "results/diffusion_loss.png").exists()
+    # cache reuse + sample-only path
+    run(
+        "train_diffusion_prior.py", "--procedural", "--max-items", "128",
+        "--width", "64", "--z-dim", "8", "--latent-cache", "data/latents.npz",
+        "--ddim-steps", "5", "--sample-only", "--resume", cwd=workdir,
+    )
+
+
+def test_05_train_sde_and_sample(workdir):
+    run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "128",
+        "--epochs", "2", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--ema-decay", "0.999", "--sample-steps", "3",
+        "--out-dir", "runs/t", cwd=workdir,
+    )
+    ckpt = workdir / "runs/t/checkpoints/sde_score_model_last.msgpack"
+    assert ckpt.exists()
+    metrics = (workdir / "runs/t/metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) == 2
+    rec = json.loads(metrics[-1])
+    assert rec["epoch"] == 2 and "loss" in rec
+    assert (workdir / "runs/t/results/sde_loss.png").exists()
+    assert (workdir / "runs/t/results/sde_samples_epoch_002.png").exists()
+
+    # resume continues epoch numbering
+    r = run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "128",
+        "--epochs", "3", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--ema-decay", "0.999", "--sample-steps", "3",
+        "--out-dir", "runs/t", "--resume", cwd=workdir,
+    )
+    assert "resumed from" in r.stdout
+    metrics = (workdir / "runs/t/metrics.jsonl").read_text().strip().splitlines()
+    assert json.loads(metrics[-1])["epoch"] == 3
+
+    # standalone sampler: both samplers, EMA on/off
+    for sampler in ("ode", "sde"):
+        run(
+            "sample_sde_score_model.py", "--out-dir", "runs/t", "--ckpt", "last",
+            "--steps", "3", "--cfg", "1.5", "--sampler", sampler, "--use-ema", "1",
+            "--n", "4", cwd=workdir,
+        )
+    results = list((workdir / "runs/t/results").glob("samples_ckpt-*"))
+    assert len(results) == 2
