@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Full benchmark harness: fills the reference's empty perf table (BASELINE.md).
+
+Measures, on the current backend:
+  - sde_sampling:  64x64 samples/sec/chip, 300-step reverse-SDE + CFG 1.5 (the
+    north-star metric; also reported by /root/repo/bench.py for the driver)
+  - ode_sampling:  probability-flow ODE Heun, 300 steps + CFG
+  - vae_train:     images/sec, conditional VAE batch 128 (secondary metric)
+  - sde_train:     images/sec, U-Net eps-loss train step batch 128
+  - datagen:       on-device procedural dataset images/sec (Pallas/XLA raster)
+  - ddim_prior:    latent DDIM-50 z/sec through the FiLM prior (width 1024)
+
+Writes JSON to benchmarks/results.json and prints the table.
+All timings force completion via jax.device_get (block_until_ready does not
+reliably block on tunneled-TPU platforms).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def timeit(fn, *args, repeats=3):
+    import jax
+
+    jax.device_get(fn(*args))  # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default=str(REPO / "benchmarks/results.json"))
+    p.add_argument("--sample-batch", type=int, default=256)
+    p.add_argument("--train-batch", type=int, default=128)
+    p.add_argument("--steps", type=int, default=300)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/toycrystals_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from toycrystals_tpu.data import LatticeConfig, generate_batch
+    from toycrystals_tpu.models import (
+        CondUNetTiny,
+        CondVAE,
+        DiffusionPriorFiLM,
+        DiffusionSchedule,
+        VPSDE,
+        sample_probability_flow_ode,
+        sample_reverse_sde_euler_maruyama,
+    )
+    from toycrystals_tpu.models.diffusion_prior import ddim_sample
+    from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
+    from toycrystals_tpu.train import (
+        create_train_state,
+        make_sde_train_step,
+        make_vae_train_step,
+    )
+
+    key = jax.random.key(0)
+    results: dict[str, dict] = {"backend": jax.default_backend()}
+
+    # --- SDE / ODE sampling (bf16 compute) ---
+    b = args.sample_batch
+    unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
+                        dtype=jnp.bfloat16)
+    uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+                        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+    uapply = lambda prm, xt, t, yc, yv: unet.apply({"params": prm}, xt, t, yc, yv)
+    sde = VPSDE(0.1, 30.0)
+    y_cat, y_cont = sample_grid_conditions(b, 4, 4)
+
+    dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
+        uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+        n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+    results["sde_sampling"] = {"images_per_sec": round(b / dt, 2),
+                               "batch": b, "steps": args.steps, "cfg": 1.5}
+
+    dt = timeit(lambda k: sample_probability_flow_ode(
+        uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+        n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+    results["ode_sampling"] = {"images_per_sec": round(b / dt, 2),
+                               "batch": b, "steps": args.steps, "cfg": 1.5}
+
+    # --- VAE train step ---
+    tb = args.train_batch
+    vae = CondVAE(z_dim=32, n_types=4, y_cont_dim=4)
+    x = jax.random.uniform(key, (tb, 64, 64, 1))
+    yc = jnp.arange(tb, dtype=jnp.int32) % 4
+    yv = jnp.zeros((tb, 4))
+    vparams = vae.init({"params": key, "reparam": key}, x, yc, yv)["params"]
+    vtx = optax.adam(2e-3)
+    vstate = create_train_state(vparams, vtx)
+    vstep = make_vae_train_step(vae, vtx, free_bits=0.05)
+
+    def vae_once(k):
+        _, m = vstep(vstate, x, yc, yv, jnp.float32(3e-4), k)
+        return m["loss"]
+
+    dt = timeit(vae_once, key)
+    results["vae_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb}
+
+    # --- SDE train step (f32, training config) ---
+    unet32 = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128)
+    u32params = unet32.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+    stx = optax.adam(1e-4)
+    sstate = create_train_state(u32params, stx, ema=True)
+    sstep = make_sde_train_step(unet32, stx, sde, 4, 0.1, 1.0, 0.999)
+
+    def sde_once(k):
+        _, loss = sstep(sstate, x, yc, yv, k)
+        return loss
+
+    dt = timeit(sde_once, key)
+    results["sde_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb,
+                            "ema": True}
+
+    # --- on-device datagen ---
+    cfg = LatticeConfig(rot_only=True)
+    gb = 2048
+
+    def gen_once(i):
+        return generate_batch(cfg, 0, jnp.arange(gb) + i * gb)[0]
+
+    dt = timeit(gen_once, 1)
+    results["datagen"] = {"images_per_sec": round(gb / dt, 2), "batch": gb}
+
+    # --- latent prior DDIM ---
+    prior = DiffusionPriorFiLM(z_dim=32, n_types=4, y_cont_dim=4, width=1024,
+                               n_blocks=8, y_cat_emb_dim=64)
+    pz = jnp.zeros((2, 32))
+    pparams = prior.init(key, pz, jnp.zeros((2,), jnp.int32),
+                         jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+    papply = lambda prm, z, t, a, c: prior.apply({"params": prm}, z, t, a, c)
+    sched = DiffusionSchedule.linear(1000, 1e-4, 0.05)
+    pb = 4096
+    pyc, pyv = sample_grid_conditions(pb, 4, 4)
+
+    dt = timeit(lambda k: ddim_sample(papply, pparams, sched, pyc, pyv, 50, 32, k),
+                key)
+    results["ddim_prior"] = {"z_per_sec": round(pb / dt, 2), "batch": pb, "steps": 50}
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
