@@ -45,7 +45,23 @@ def main() -> int:
     p.add_argument("--sample-batch", type=int, default=256)
     p.add_argument("--train-batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--stretch", action="store_true",
+                   help="also run the BASELINE.md stretch configs: 256x256 "
+                        "lattices + 256x256 score-model sampling, and (when "
+                        ">1 device is visible) the sharded large-batch run")
+    p.add_argument("--sharded-batch", type=int, default=4096,
+                   help="batch for the sharded stretch run (v5e-8 config)")
+    p.add_argument("--only", type=str, default="",
+                   help="comma list of sections to run (default all): "
+                        "sde,ode,vae,sde_train,datagen,ddim")
     args = p.parse_args()
+    only = {s for s in args.only.split(",") if s}
+    sections = {"sde", "ode", "vae", "sde_train", "datagen", "ddim"}
+    if unknown := only - sections:
+        p.error(f"unknown --only section(s) {sorted(unknown)}; choose from {sorted(sections)}")
+
+    def want(section: str) -> bool:
+        return not only or section in only
 
     import jax
     import jax.numpy as jnp
@@ -85,76 +101,118 @@ def main() -> int:
     sde = VPSDE(0.1, 30.0)
     y_cat, y_cont = sample_grid_conditions(b, 4, 4)
 
-    dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
-        uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
-        n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
-    results["sde_sampling"] = {"images_per_sec": round(b / dt, 2),
-                               "batch": b, "steps": args.steps, "cfg": 1.5}
+    if want("sde"):
+        dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
+            uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+            n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+        results["sde_sampling"] = {"images_per_sec": round(b / dt, 2),
+                                   "batch": b, "steps": args.steps, "cfg": 1.5}
 
-    dt = timeit(lambda k: sample_probability_flow_ode(
-        uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
-        n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
-    results["ode_sampling"] = {"images_per_sec": round(b / dt, 2),
-                               "batch": b, "steps": args.steps, "cfg": 1.5}
+    if want("ode"):
+        dt = timeit(lambda k: sample_probability_flow_ode(
+            uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+            n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+        results["ode_sampling"] = {"images_per_sec": round(b / dt, 2),
+                                   "batch": b, "steps": args.steps, "cfg": 1.5}
 
     # --- VAE train step ---
     tb = args.train_batch
-    vae = CondVAE(z_dim=32, n_types=4, y_cont_dim=4)
     x = jax.random.uniform(key, (tb, 64, 64, 1))
     yc = jnp.arange(tb, dtype=jnp.int32) % 4
     yv = jnp.zeros((tb, 4))
-    vparams = vae.init({"params": key, "reparam": key}, x, yc, yv)["params"]
-    vtx = optax.adam(2e-3)
-    vstate = create_train_state(vparams, vtx)
-    vstep = make_vae_train_step(vae, vtx, free_bits=0.05)
 
-    def vae_once(k):
-        _, m = vstep(vstate, x, yc, yv, jnp.float32(3e-4), k)
-        return m["loss"]
+    if want("vae"):
+        vae = CondVAE(z_dim=32, n_types=4, y_cont_dim=4)
+        vparams = vae.init({"params": key, "reparam": key}, x, yc, yv)["params"]
+        vtx = optax.adam(2e-3)
+        vstate = create_train_state(vparams, vtx)
+        vstep = make_vae_train_step(vae, vtx, free_bits=0.05)
 
-    dt = timeit(vae_once, key)
-    results["vae_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb}
+        def vae_once(k):
+            _, m = vstep(vstate, x, yc, yv, jnp.float32(3e-4), k)
+            return m["loss"]
+
+        dt = timeit(vae_once, key)
+        results["vae_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb}
 
     # --- SDE train step (f32, training config) ---
-    unet32 = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128)
-    u32params = unet32.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
-                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
-    stx = optax.adam(1e-4)
-    sstate = create_train_state(u32params, stx, ema=True)
-    sstep = make_sde_train_step(unet32, stx, sde, 4, 0.1, 1.0, 0.999)
+    if want("sde_train"):
+        unet32 = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128)
+        u32params = unet32.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+                                jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+        stx = optax.adam(1e-4)
+        sstate = create_train_state(u32params, stx, ema=True)
+        sstep = make_sde_train_step(unet32, stx, sde, 4, 0.1, 1.0, 0.999)
 
-    def sde_once(k):
-        _, loss = sstep(sstate, x, yc, yv, k)
-        return loss
+        def sde_once(k):
+            _, loss = sstep(sstate, x, yc, yv, k)
+            return loss
 
-    dt = timeit(sde_once, key)
-    results["sde_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb,
-                            "ema": True}
+        dt = timeit(sde_once, key)
+        results["sde_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb,
+                                "ema": True}
 
     # --- on-device datagen ---
-    cfg = LatticeConfig(rot_only=True)
-    gb = 2048
+    if want("datagen"):
+        cfg = LatticeConfig(rot_only=True)
+        gb = 2048
 
-    def gen_once(i):
-        return generate_batch(cfg, 0, jnp.arange(gb) + i * gb)[0]
+        def gen_once(i):
+            return generate_batch(cfg, 0, jnp.arange(gb) + i * gb)[0]
 
-    dt = timeit(gen_once, 1)
-    results["datagen"] = {"images_per_sec": round(gb / dt, 2), "batch": gb}
+        dt = timeit(gen_once, 1)
+        results["datagen"] = {"images_per_sec": round(gb / dt, 2), "batch": gb}
 
     # --- latent prior DDIM ---
-    prior = DiffusionPriorFiLM(z_dim=32, n_types=4, y_cont_dim=4, width=1024,
-                               n_blocks=8, y_cat_emb_dim=64)
-    pz = jnp.zeros((2, 32))
-    pparams = prior.init(key, pz, jnp.zeros((2,), jnp.int32),
-                         jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
-    papply = lambda prm, z, t, a, c: prior.apply({"params": prm}, z, t, a, c)
-    sched = DiffusionSchedule.linear(1000, 1e-4, 0.05)
-    pb = 4096
-    pyc, pyv = sample_grid_conditions(pb, 4, 4)
+    if want("ddim"):
+        prior = DiffusionPriorFiLM(z_dim=32, n_types=4, y_cont_dim=4, width=1024,
+                                   n_blocks=8, y_cat_emb_dim=64)
+        pz = jnp.zeros((2, 32))
+        pparams = prior.init(key, pz, jnp.zeros((2,), jnp.int32),
+                             jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+        papply = lambda prm, z, t, a, c: prior.apply({"params": prm}, z, t, a, c)
+        sched = DiffusionSchedule.linear(1000, 1e-4, 0.05)
+        pb = 4096
+        pyc, pyv = sample_grid_conditions(pb, 4, 4)
 
-    dt = timeit(lambda k: ddim_sample(papply, pparams, sched, pyc, pyv, 50, 32, k),
-                key)
-    results["ddim_prior"] = {"z_per_sec": round(pb / dt, 2), "batch": pb, "steps": 50}
+        dt = timeit(lambda k: ddim_sample(papply, pparams, sched, pyc, pyv, 50, 32, k),
+                    key)
+        results["ddim_prior"] = {"z_per_sec": round(pb / dt, 2), "batch": pb, "steps": 50}
+
+    # --- stretch configs (BASELINE.md): 256x256 lattices + hi-res sampling ---
+    if args.stretch:
+        cfg256 = LatticeConfig(img_size=256, rot_only=True)
+        gb256 = min(256, 2 * args.sample_batch)
+
+        dt = timeit(lambda i: generate_batch(cfg256, 0, jnp.arange(gb256) + i)[0], 1)
+        results["datagen_256"] = {"images_per_sec": round(gb256 / dt, 2), "batch": gb256,
+                                  "img_size": 256}
+
+        b256 = max(args.sample_batch // 16, 4)
+        yc256, yv256 = sample_grid_conditions(b256, 4, 4)
+        dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
+            uapply, uparams, sde, yc256, yv256, (b256, 256, 256, 1), k,
+            n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+        results["sde_sampling_256"] = {"images_per_sec": round(b256 / dt, 2),
+                                       "batch": b256, "steps": args.steps,
+                                       "img_size": 256, "cfg": 1.5}
+
+        # Sharded 4096-sample batch over every visible chip (v5e-8 config).
+        if len(jax.devices()) > 1:
+            from toycrystals_tpu.parallel import data_sharding, make_mesh
+
+            mesh = make_mesh(len(jax.devices()))
+            sb = args.sharded_batch
+            syc, syv = sample_grid_conditions(sb, 4, 4)
+            syc = jax.device_put(syc, data_sharding(mesh, 1))
+            syv = jax.device_put(syv, data_sharding(mesh, 2))
+            dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
+                uapply, uparams, sde, syc, syv, (sb, 64, 64, 1), k,
+                n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+            results["sde_sampling_sharded"] = {
+                "images_per_sec": round(sb / dt, 2), "batch": sb,
+                "n_devices": len(jax.devices()), "steps": args.steps, "cfg": 1.5,
+            }
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
