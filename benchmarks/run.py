@@ -128,8 +128,11 @@ def main() -> int:
         vstate = create_train_state(vparams, vtx)
         vstep = make_vae_train_step(vae, vtx, free_bits=0.05)
 
+        vcell = {"s": vstate}
+
         def vae_once(k):
-            _, m = vstep(vstate, x, yc, yv, jnp.float32(3e-4), k)
+            # the train state is donated, so thread it through the timing loop
+            vcell["s"], m = vstep(vcell["s"], x, yc, yv, jnp.float32(3e-4), k)
             return m["loss"]
 
         dt = timeit(vae_once, key)
@@ -144,8 +147,10 @@ def main() -> int:
         sstate = create_train_state(u32params, stx, ema=True)
         sstep = make_sde_train_step(unet32, stx, sde, 4, 0.1, 1.0, 0.999)
 
+        scell = {"s": sstate}
+
         def sde_once(k):
-            _, loss = sstep(sstate, x, yc, yv, k)
+            scell["s"], loss = sstep(scell["s"], x, yc, yv, k)
             return loss
 
         dt = timeit(sde_once, key)

@@ -36,13 +36,17 @@ def test_sharded_train_step_matches_single_device():
     sde = VPSDE(0.1, 30.0)
     step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.0, t_power=1.0, ema_decay=0.0)
 
+    # The train step donates its state, and device_put may alias the source
+    # buffer for the shard living on the source device — so the two states
+    # must NOT share leaves with each other or with `params`.
+    mesh = make_mesh()
+    s2 = replicate(mesh, create_train_state(jax.tree.map(jnp.copy, params), tx))
+
     # single device
-    s1 = create_train_state(params, tx)
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), tx)
     s1, loss1 = step(s1, x, ycat, ycont, K)
 
     # 8-way data parallel
-    mesh = make_mesh()
-    s2 = replicate(mesh, create_train_state(params, tx))
     xb, cb, vb = shard_batch(mesh, (x, ycat, ycont))
     assert xb.sharding.spec[0] == "data"
     s2, loss2 = step(s2, xb, cb, vb, K)

@@ -99,6 +99,7 @@ def test_prior_step_buckets():
     # u^2 bias: low-t buckets get more samples on average — weak check over keys
     tot_low = 0.0
     for i in range(5):
-        _, m = step(state, sched, z, ycat, ycont, jax.random.fold_in(K, i))
+        # state is donated — always thread the returned state back in
+        state, m = step(state, sched, z, ycat, ycont, jax.random.fold_in(K, i))
         tot_low += float(np.asarray(m["bucket_n"])[0])
     assert tot_low / 5 > 64 / 4  # bucket 0 over-represented vs uniform

@@ -17,6 +17,7 @@ Loss semantics mirror the reference trainers:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -57,7 +58,7 @@ def make_vae_train_step(
         loss = recon + beta_eff * kl_used
         return loss, {"loss": loss, "recon": recon, "kl": kl_used, "kl_raw": kl_raw}
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, x, y_cat, y_cont, beta_eff, key):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, x, y_cat, y_cont, beta_eff, key)
@@ -94,7 +95,7 @@ def make_prior_train_step(model, tx: optax.GradientTransformation, T: int) -> Ca
         bucket_n = jnp.zeros(4).at[q].add(1.0)
         return loss, {"loss": loss, "bucket_sum": bucket_sum, "bucket_n": bucket_n}
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, sched, z0n, y_cat, y_cont, key):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, sched, z0n, y_cat, y_cont, key)
@@ -131,7 +132,7 @@ def make_sde_train_step(
             apply_fn, params, sde, x0, y_cat, y_cont, key, n_types, p_uncond, t_power
         )
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, x0, y_cat, y_cont, key):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, x0, y_cat, y_cont, key)
         new_params, new_opt = _apply_updates(state, grads, tx)
