@@ -1,0 +1,65 @@
+"""Coverage for the thinner corners of the model/data API surface:
+the plain-MLP DiffusionPrior variant (`/root/reference/src/toycrystals/models/
+diffusion_prior.py:130-164` — kept for API parity though unused by scripts),
+`y_vec`, and the HBM-resident disk dataset used by the trainers."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from _common import ResidentDiskDataset  # noqa: E402
+from toycrystals_tpu.models.diffusion_prior import (  # noqa: E402
+    DiffusionPrior,
+    y_vec,
+)
+
+K = jax.random.key(0)
+
+
+def test_plain_mlp_prior_forward():
+    model = DiffusionPrior(z_dim=8, n_types=4, y_cont_dim=4, width=32)
+    b = 6
+    z = jax.random.normal(K, (b, 8))
+    t = jnp.arange(b, dtype=jnp.int32) * 10
+    ycat = jnp.arange(b, dtype=jnp.int32) % 4
+    ycont = jnp.ones((b, 4))
+    params = model.init(K, z, t, ycat, ycont)["params"]
+    eps = model.apply({"params": params}, z, t, ycat, ycont)
+    assert eps.shape == (b, 8)
+    assert eps.dtype == jnp.float32
+    assert np.isfinite(np.asarray(eps)).all()
+    # per-sample: permuting the batch permutes the output identically
+    perm = jnp.array([3, 1, 0, 5, 4, 2])
+    eps_p = model.apply({"params": params}, z[perm], t[perm], ycat[perm], ycont[perm])
+    np.testing.assert_allclose(np.asarray(eps_p), np.asarray(eps)[perm], rtol=2e-5, atol=1e-6)
+
+
+def test_y_vec_one_hot_concat():
+    """cond = one_hot(y_cat, n_types) ++ y_cont (`diffusion_prior.py:28-36`)."""
+    ycat = jnp.array([0, 2], jnp.int32)
+    ycont = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    v = np.asarray(y_vec(ycat, ycont, n_types=3))
+    np.testing.assert_allclose(v, [[1, 0, 0, 1, 2], [0, 0, 1, 3, 4]])
+
+
+def test_resident_disk_dataset_gather(tmp_path):
+    n, hw = 20, 8
+    x_u8 = np.random.default_rng(0).integers(0, 256, (n, hw, hw, 1), dtype=np.uint8)
+    y_cat = np.arange(n, dtype=np.int64) % 4
+    y_cont = np.random.default_rng(1).normal(size=(n, 4)).astype(np.float32)
+    path = tmp_path / "ds.npz"
+    np.savez(path, x_u8=x_u8, y_cat=y_cat, y_cont=y_cont)
+
+    ds = ResidentDiskDataset(path)
+    assert len(ds) == n
+    idx = jnp.array([3, 0, 19])
+    x, yc, yv = ds.gather(idx)
+    assert x.shape == (3, hw, hw, 1) and x.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(x), x_u8[[3, 0, 19]].astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(np.asarray(yc), y_cat[[3, 0, 19]])
+    np.testing.assert_allclose(np.asarray(yv), y_cont[[3, 0, 19]])
