@@ -57,11 +57,17 @@ def main() -> int:
     )["params"]
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
 
+    checksum = jax.jit(lambda x: jnp.sum(x))
+
     def run(key):
-        return sample_reverse_sde_euler_maruyama(
+        # The samples are fully materialised on device; reduce to one scalar
+        # before device_get so the host pull (4 MB over a tunneled link) is
+        # not billed to the sampler. The sum depends on every pixel, so it
+        # still forces completion of the whole scan.
+        return checksum(sample_reverse_sde_euler_maruyama(
             apply_fn, params, sde, y_cat, y_cont, (b, 64, 64, 1), key,
             n_steps=args.steps, guidance_scale=args.cfg, t_end=args.t_end,
-        )
+        ))
 
     print(
         f"bench: backend={jax.default_backend()} batch={b} steps={args.steps} "

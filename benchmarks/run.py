@@ -28,13 +28,25 @@ sys.path.insert(0, str(REPO))
 
 
 def timeit(fn, *args, repeats=3):
-    import jax
+    """min wall seconds per call of fn, forcing completion each call.
 
-    jax.device_get(fn(*args))  # compile + warm
+    The result is reduced to ONE scalar on device before jax.device_get: on a
+    tunneled TPU, pulling a full result array back to the host costs far more
+    than the compute being measured (e.g. a 33 MB datagen batch ~1.3 s over
+    the link), and block_until_ready does not reliably block there. The sum
+    depends on every element, so completion is still forced.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    reduce_all = jax.jit(lambda t: jax.tree.reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))), t, jnp.float32(0)))
+
+    jax.device_get(reduce_all(fn(*args)))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.device_get(fn(*args))
+        jax.device_get(reduce_all(fn(*args)))
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -87,6 +99,7 @@ def main() -> int:
         make_sde_train_step,
         make_vae_train_step,
     )
+    from toycrystals_tpu.utils import scan_timer
 
     key = jax.random.key(0)
     results: dict[str, dict] = {"backend": jax.default_backend()}
@@ -128,14 +141,18 @@ def main() -> int:
         vstate = create_train_state(vparams, vtx)
         vstep = make_vae_train_step(vae, vtx, free_bits=0.05)
 
-        vcell = {"s": vstate}
+        # steps/sec via an on-device scan loop (per-dispatch tunnel RTT would
+        # otherwise dominate a ~20 ms step); the carry IS the train state, so
+        # this times the real donated training loop.
+        def vae_body(carry):
+            state, i = carry
+            state, _ = vstep(state, x, yc, yv, jnp.float32(3e-4),
+                             jax.random.fold_in(key, i))
+            return (state, i + 1)
 
-        def vae_once(k):
-            # the train state is donated, so thread it through the timing loop
-            vcell["s"], m = vstep(vcell["s"], x, yc, yv, jnp.float32(3e-4), k)
-            return m["loss"]
-
-        dt = timeit(vae_once, key)
+        # ~1-2 ms/step: needs hundreds of iters for the scan delta to rise
+        # above the tunnel's per-call noise.
+        dt = scan_timer(vae_body, (vstate, jnp.int32(0)), n_lo=10, n_hi=510)
         results["vae_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb}
 
     # --- SDE train step (f32, training config) ---
@@ -147,13 +164,12 @@ def main() -> int:
         sstate = create_train_state(u32params, stx, ema=True)
         sstep = make_sde_train_step(unet32, stx, sde, 4, 0.1, 1.0, 0.999)
 
-        scell = {"s": sstate}
+        def sde_body(carry):
+            state, i = carry
+            state, _ = sstep(state, x, yc, yv, jax.random.fold_in(key, i))
+            return (state, i + 1)
 
-        def sde_once(k):
-            scell["s"], loss = sstep(scell["s"], x, yc, yv, k)
-            return loss
-
-        dt = timeit(sde_once, key)
+        dt = scan_timer(sde_body, (sstate, jnp.int32(0)), n_lo=5, n_hi=25)
         results["sde_train"] = {"images_per_sec": round(tb / dt, 2), "batch": tb,
                                 "ema": True}
 
@@ -162,10 +178,12 @@ def main() -> int:
         cfg = LatticeConfig(rot_only=True)
         gb = 2048
 
-        def gen_once(i):
-            return generate_batch(cfg, 0, jnp.arange(gb) + i * gb)[0]
+        def gen_body(carry):
+            acc, i = carry
+            xg = generate_batch(cfg, 0, jnp.arange(gb) + i * gb)[0]
+            return (acc + jnp.sum(xg), i + 1)
 
-        dt = timeit(gen_once, 1)
+        dt = scan_timer(gen_body, (jnp.float32(0), jnp.int32(0)), n_lo=10, n_hi=510)
         results["datagen"] = {"images_per_sec": round(gb / dt, 2), "batch": gb}
 
     # --- latent prior DDIM ---
@@ -189,7 +207,12 @@ def main() -> int:
         cfg256 = LatticeConfig(img_size=256, rot_only=True)
         gb256 = min(256, 2 * args.sample_batch)
 
-        dt = timeit(lambda i: generate_batch(cfg256, 0, jnp.arange(gb256) + i)[0], 1)
+        def gen256_body(carry):
+            acc, i = carry
+            xg = generate_batch(cfg256, 0, jnp.arange(gb256) + i * gb256)[0]
+            return (acc + jnp.sum(xg), i + 1)
+
+        dt = scan_timer(gen256_body, (jnp.float32(0), jnp.int32(0)), n_lo=3, n_hi=15)
         results["datagen_256"] = {"images_per_sec": round(gb256 / dt, 2), "batch": gb256,
                                   "img_size": 256}
 

@@ -58,6 +58,10 @@ def main() -> int:
     p.add_argument("--beta-max", type=float, default=30.0)
 
     p.add_argument("--out-path", default=None, help="Where to save the sample grid png")
+    p.add_argument("--dtype", type=str, default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="Computation dtype for sampling; 'auto' follows the "
+                        "checkpoint's training dtype.")
     args = p.parse_args()
     select_device(args.device)
 
@@ -85,10 +89,17 @@ def main() -> int:
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
     }
 
+    import jax.numpy as jnp
+
+    if args.dtype == "auto":
+        dtype_name = str(cfg.get("dtype", "float32"))
+    else:
+        dtype_name = args.dtype
     model = CondUNetTiny(
         n_types=int(cfg["n_types"]), y_cont_dim=int(cfg["y_cont_dim"]),
         base_ch=int(cfg["base_ch"]), emb_dim=int(cfg["emb_dim"]),
         cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
+        dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
     )
     state = payload["state"]
     params = state["params"]

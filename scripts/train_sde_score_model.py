@@ -78,6 +78,10 @@ def main() -> int:
     p.add_argument("--t-end", type=float, default=1e-3)
     p.add_argument("--sample-from-ema", type=int, default=1, choices=[0, 1],
                    help="If EMA enabled, save sample grids using EMA weights.")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Computation dtype (params stay float32). bfloat16 "
+                        "runs activations on the MXU at 2x peak FLOPs.")
 
     args = p.parse_args()
     select_device(args.device)
@@ -126,9 +130,13 @@ def main() -> int:
         get_batch = ds.gather
 
     # --- model + sde + state ---
+    # --dtype bfloat16 = mixed precision: bf16 activations on the MXU, f32
+    # parameters/optimiser/EMA (flax `dtype` only sets computation dtype).
+    comp_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = CondUNetTiny(
         n_types=args.n_types, y_cont_dim=args.y_cont_dim, base_ch=args.base_ch,
         emb_dim=args.emb_dim, cond_ch=args.cond_ch, time_ch=args.time_ch,
+        dtype=comp_dtype,
     )
     sde = VPSDE(beta_min=args.beta_min, beta_max=args.beta_max)
 
@@ -152,7 +160,7 @@ def main() -> int:
         "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
         "base_ch": args.base_ch, "emb_dim": args.emb_dim, "cond_ch": args.cond_ch,
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
-        "t_power": args.t_power, "p_uncond": args.p_uncond,
+        "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": args.dtype,
     }
 
     start_epoch = 0

@@ -42,7 +42,15 @@ def scan_timer(
         @jax.jit
         def f(c):
             out, _ = jax.lax.scan(lambda c, _: (body(c), ()), c, None, length=n)
-            return out
+            # Reduce to ONE scalar on device: fetching the full carry (e.g. a
+            # train state) over a tunneled link costs seconds and drowns the
+            # timing signal. The sum depends on every leaf, so completion of
+            # the whole scan is still forced.
+            return jax.tree.reduce(
+                lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))),
+                out,
+                jnp.float32(0),
+            )
 
         return f
 
