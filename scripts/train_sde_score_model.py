@@ -82,6 +82,10 @@ def main() -> int:
                    choices=["float32", "bfloat16"],
                    help="Computation dtype (params stay float32). bfloat16 "
                         "runs activations on the MXU at 2x peak FLOPs.")
+    p.add_argument("--fused-epoch", type=int, default=1, choices=[0, 1],
+                   help="Compile each whole epoch (shuffle + datagen/gather + "
+                        "all steps) as ONE program — zero host round-trips "
+                        "per epoch. 0 falls back to one dispatch per batch.")
 
     args = p.parse_args()
     select_device(args.device)
@@ -97,7 +101,11 @@ def main() -> int:
         sample_probability_flow_ode,
     )
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
-    from toycrystals_tpu.train import create_train_state, make_sde_train_step
+    from toycrystals_tpu.train import (
+        create_train_state,
+        make_sde_train_epoch,
+        make_sde_train_step,
+    )
     from toycrystals_tpu.utils import append_jsonl, ensure_file, load_checkpoint, save_checkpoint
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves
 
@@ -117,7 +125,8 @@ def main() -> int:
 
     # --- data ---
     img_size = 64
-    if args.procedural or not args.data_path:
+    procedural = args.procedural or not args.data_path
+    if procedural:
         cfg = LatticeConfig(img_size=img_size, n_types=args.n_types, rot_only=True)
         n_items = args.n_samples
 
@@ -151,9 +160,18 @@ def main() -> int:
     if args.ema_decay != 0.0 and not (0.0 < args.ema_decay < 1.0):
         raise ValueError("--ema-decay must be in (0,1) or 0 to disable.")
     state = create_train_state(params, tx, ema=args.ema_decay > 0.0)
-    step = make_sde_train_step(
-        model, tx, sde, args.n_types, args.p_uncond, args.t_power, args.ema_decay
-    )
+    if args.fused_epoch:
+        epoch_fn = make_sde_train_epoch(
+            model, tx, sde, args.n_types, args.p_uncond, args.t_power,
+            args.ema_decay, args.batch_size, n_items,
+            lattice_cfg=cfg if procedural else None,
+            dataset_seed=args.seed,
+            resident=None if procedural else (ds.x_u8, ds.y_cat, ds.y_cont),
+        )
+    else:
+        step = make_sde_train_step(
+            model, tx, sde, args.n_types, args.p_uncond, args.t_power, args.ema_decay
+        )
 
     # Self-describing config embedded in the ckpt (`train_sde_score_model.py:179-192`).
     config = {
@@ -196,18 +214,24 @@ def main() -> int:
     print("starting SDE score-model training loop.")
     ensure_file(metrics_path)
 
+    steps_per_epoch = n_items // args.batch_size
     for epoch in range(start_epoch, args.epochs):
         t0 = time.perf_counter()
-        losses = []
-        for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-            x0, y_cat, y_cont = get_batch(bidx)
-            key, sub = jax.random.split(key)
-            state, loss = step(state, x0, y_cat, y_cont, sub)
-            losses.append(loss)
-        avg = float(jnp.mean(jnp.stack(losses)))
+        key, sub = jax.random.split(key)
+        if args.fused_epoch:
+            state, avg = epoch_fn(state, sub)
+            avg = float(avg)
+        else:
+            losses = []
+            for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+                x0, y_cat, y_cont = get_batch(bidx)
+                sub, k_step = jax.random.split(sub)
+                state, loss = step(state, x0, y_cat, y_cont, k_step)
+                losses.append(loss)
+            avg = float(jnp.mean(jnp.stack(losses)))
         dt = time.perf_counter() - t0
         loss_hist.append(avg)
-        ips = len(losses) * args.batch_size / dt
+        ips = steps_per_epoch * args.batch_size / dt
         print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")
 
         save_checkpoint(ckpt_path, {

@@ -103,3 +103,66 @@ def test_prior_step_buckets():
         state, m = step(state, sched, z, ycat, ycont, jax.random.fold_in(K, i))
         tot_low += float(np.asarray(m["bucket_n"])[0])
     assert tot_low / 5 > 64 / 4  # bucket 0 over-represented vs uniform
+
+
+def test_sde_fused_epoch_procedural():
+    """One compiled epoch (shuffle + on-device datagen + all steps + EMA)
+    advances state by n_steps and reduces loss across epochs."""
+    from toycrystals_tpu.data import LatticeConfig
+    from toycrystals_tpu.train import make_sde_train_epoch
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    cfg = LatticeConfig(img_size=16, rot_only=True)
+    x, ycat, ycont = _fake_batch(b=2, hw=16)
+    params = model.init(K, x, jnp.zeros((2,)), ycat[:2], ycont[:2])["params"]
+    tx = optax.adam(2e-3)
+    sde = VPSDE(0.1, 30.0)
+    state = create_train_state(params, tx, ema=True)
+    epoch_fn = make_sde_train_epoch(
+        model, tx, sde, 4, 0.1, 1.0, 0.9, batch_size=8, n_items=35,
+        lattice_cfg=cfg, dataset_seed=0,
+    )
+
+    losses = []
+    for e in range(4):
+        state, loss = epoch_fn(state, jax.random.fold_in(K, e))
+        losses.append(float(loss))
+    assert int(state.step) == 4 * (35 // 8)  # drop-last semantics
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_sde_fused_epoch_resident_matches_shapes():
+    from toycrystals_tpu.train import make_sde_train_epoch
+
+    n, hw = 20, 16
+    x_u8 = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (n, hw, hw, 1), dtype=np.uint8)
+    )
+    ycat = jnp.arange(n, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((n, 4), jnp.float32)
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    params = model.init(K, jnp.zeros((2, hw, hw, 1)), jnp.zeros((2,)),
+                        ycat[:2], ycont[:2])["params"]
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    epoch_fn = make_sde_train_epoch(
+        model, tx, VPSDE(0.1, 30.0), 4, 0.1, 1.0, 0.0, batch_size=8, n_items=n,
+        resident=(x_u8, ycat, ycont),
+    )
+    state, loss = epoch_fn(state, K)
+    assert int(state.step) == n // 8
+    assert np.isfinite(float(loss))
+
+
+def test_sde_fused_epoch_requires_one_source():
+    import pytest
+
+    from toycrystals_tpu.data import LatticeConfig
+    from toycrystals_tpu.train import make_sde_train_epoch
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    with pytest.raises(ValueError):
+        make_sde_train_epoch(model, optax.adam(1e-3), VPSDE(0.1, 30.0),
+                             4, 0.1, 1.0, 0.0, 8, 16)

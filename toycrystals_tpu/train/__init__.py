@@ -3,6 +3,7 @@ from toycrystals_tpu.train.steps import (
     make_vae_train_step,
     make_prior_train_step,
     make_sde_train_step,
+    make_sde_train_epoch,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "make_vae_train_step",
     "make_prior_train_step",
     "make_sde_train_step",
+    "make_sde_train_epoch",
 ]
