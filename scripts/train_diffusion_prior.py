@@ -55,6 +55,12 @@ def main() -> int:
     p.add_argument("--prior-ckpt", type=str, default="checkpoints/diffusion_prior_last.msgpack")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--sample-only", action="store_true")
+    p.add_argument("--fused-epoch", type=int, default=1, choices=[0, 1],
+                   help="Compile each whole epoch (shuffle + all steps + "
+                        "bucket diagnostics) as ONE program.")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="Save the prior checkpoint every N epochs (always at "
+                        "the end).")
     p.add_argument("--sample-every", type=int, default=1,
                    help="epochs between sample grids (reference samples every epoch)")
     args = p.parse_args()
@@ -69,7 +75,11 @@ def main() -> int:
     from toycrystals_tpu.models import CondVAE, DiffusionPriorFiLM, DiffusionSchedule
     from toycrystals_tpu.models.diffusion_prior import ddim_sample
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
-    from toycrystals_tpu.train import create_train_state, make_prior_train_step
+    from toycrystals_tpu.train import (
+        create_train_state,
+        make_prior_train_epoch,
+        make_prior_train_step,
+    )
     from toycrystals_tpu.utils import load_checkpoint, save_checkpoint
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves, type_titles
 
@@ -159,7 +169,6 @@ def main() -> int:
     )["params"]
     tx = optax.adam(args.lr)
     state = create_train_state(params, tx)
-    step = make_prior_train_step(prior, tx, T=args.T)
 
     if (args.sample_only or args.resume) and os.path.exists(args.prior_ckpt):
         raw = load_checkpoint(args.prior_ckpt)
@@ -182,33 +191,49 @@ def main() -> int:
         print("sample-only: saved results/diffusion_samples.png")
         return 0
 
+    if args.fused_epoch:
+        epoch_fn = make_prior_train_epoch(
+            prior, tx, args.T, args.batch_size, (z0_norm, y_cat, y_cont)
+        )
+    else:
+        step = make_prior_train_step(prior, tx, T=args.T)
+
     loss_hist = []
     print("starting diffusion training loop.")
+    steps_per_epoch = n_items // args.batch_size
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
-        metrics = []
-        for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-            bidx = jnp.asarray(bidx)
-            key, sub = jax.random.split(key)
-            state, m = step(state, sched, z0_norm[bidx], y_cat[bidx], y_cont[bidx], sub)
-            metrics.append(m)
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)
-        avg = float(jnp.mean(stacked["loss"]))
-        bucket_sum = np.asarray(jnp.sum(stacked["bucket_sum"], axis=0))
-        bucket_n = np.asarray(jnp.sum(stacked["bucket_n"], axis=0))
+        key, sub = jax.random.split(key)
+        if args.fused_epoch:
+            state, em = epoch_fn(state, sched, sub)
+            avg = float(em["loss"])
+            bucket_sum = np.asarray(em["bucket_sum"])
+            bucket_n = np.asarray(em["bucket_n"])
+        else:
+            metrics = []
+            for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+                bidx = jnp.asarray(bidx)
+                sub, k_step = jax.random.split(sub)
+                state, m = step(state, sched, z0_norm[bidx], y_cat[bidx], y_cont[bidx], k_step)
+                metrics.append(m)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)
+            avg = float(jnp.mean(stacked["loss"]))
+            bucket_sum = np.asarray(jnp.sum(stacked["bucket_sum"], axis=0))
+            bucket_n = np.asarray(jnp.sum(stacked["bucket_n"], axis=0))
         dt = time.perf_counter() - t0
         loss_hist.append(avg)
         print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
-              f"({len(metrics) * args.batch_size / dt:.0f} z/s)")
+              f"({steps_per_epoch * args.batch_size / dt:.0f} z/s)")
 
-        save_checkpoint(args.prior_ckpt, {
-            "params": state.params,
-            "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
-                       "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
-                       "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
-                       "T": args.T, "beta_start": args.beta_start,
-                       "beta_end": args.beta_end},
-        })
+        if ((epoch + 1) % args.ckpt_every == 0) or (epoch == args.epochs - 1):
+            save_checkpoint(args.prior_ckpt, {
+                "params": state.params,
+                "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
+                           "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
+                           "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
+                           "T": args.T, "beta_start": args.beta_start,
+                           "beta_end": args.beta_end},
+            })
 
         if (epoch + 1) % args.sample_every == 0 or epoch == args.epochs - 1:
             save_samples("results/diffusion_samples.png")

@@ -86,6 +86,10 @@ def main() -> int:
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
                         "per epoch. 0 falls back to one dispatch per batch.")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="Save the checkpoint every N epochs (always at the "
+                        "end). The reference saves every epoch; on a tunneled "
+                        "TPU each save pulls the full state to the host.")
 
     args = p.parse_args()
     select_device(args.device)
@@ -234,10 +238,11 @@ def main() -> int:
         ips = steps_per_epoch * args.batch_size / dt
         print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")
 
-        save_checkpoint(ckpt_path, {
-            "epoch_next": epoch + 1, "state": state,
-            "loss_hist": loss_hist, "config": config,
-        })
+        if ((epoch + 1) % args.ckpt_every == 0) or (epoch == args.epochs - 1):
+            save_checkpoint(ckpt_path, {
+                "epoch_next": epoch + 1, "state": state,
+                "loss_hist": loss_hist, "config": config,
+            })
         append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
 
         if ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1):

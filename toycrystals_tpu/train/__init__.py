@@ -2,6 +2,7 @@ from toycrystals_tpu.train.state import TrainState, create_train_state
 from toycrystals_tpu.train.steps import (
     make_vae_train_step,
     make_prior_train_step,
+    make_prior_train_epoch,
     make_sde_train_step,
     make_sde_train_epoch,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "create_train_state",
     "make_vae_train_step",
     "make_prior_train_step",
+    "make_prior_train_epoch",
     "make_sde_train_step",
     "make_sde_train_epoch",
 ]

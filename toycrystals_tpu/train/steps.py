@@ -154,6 +154,54 @@ def make_sde_train_step(
     return step
 
 
+def make_prior_train_epoch(
+    model,
+    tx: optax.GradientTransformation,
+    T: int,
+    batch_size: int,
+    latents: tuple,
+) -> Callable:
+    """A whole latent-prior training epoch as one compiled program (the
+    reference dispatches per batch, `train_diffusion_prior.py:240-277`).
+
+    latents = (z0_norm [N,z] f32, y_cat [N] i32, y_cont [N,4] f32) device
+    arrays (the standardised latent cache). Shuffle + all steps + the 4-bucket
+    diagnostics run inside one `lax.scan`; bucket sums/counts are aggregated
+    across the epoch on device.
+
+    Returns epoch_fn(state, sched, key) -> (state, {loss, bucket_sum, bucket_n}).
+    """
+    z0n, y_cat_all, y_cont_all = latents
+    n_items = int(z0n.shape[0])
+    n_steps = n_items // batch_size
+    if n_steps == 0:
+        raise ValueError(f"n_items {n_items} < batch_size {batch_size}")
+    step_fn = make_prior_train_step(model, tx, T)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, sched, key):
+        k_shuffle, k_steps = jax.random.split(key)
+        order = jax.random.permutation(k_shuffle, n_items)[: n_steps * batch_size]
+        order = order.reshape(n_steps, batch_size)
+
+        def body(state, inp):
+            idx, i = inp
+            state, m = step_fn(
+                state, sched, z0n[idx], y_cat_all[idx], y_cont_all[idx],
+                jax.random.fold_in(k_steps, i),
+            )
+            return state, m
+
+        state, ms = jax.lax.scan(body, state, (order, jnp.arange(n_steps)))
+        return state, {
+            "loss": jnp.mean(ms["loss"]),
+            "bucket_sum": jnp.sum(ms["bucket_sum"], axis=0),
+            "bucket_n": jnp.sum(ms["bucket_n"], axis=0),
+        }
+
+    return epoch_fn
+
+
 def make_sde_train_epoch(
     model,
     tx: optax.GradientTransformation,
