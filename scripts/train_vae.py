@@ -43,6 +43,9 @@ def main() -> int:
                    help="Train unconditional VAE.")
     p.add_argument("--cond", dest="uncond", action="store_false",
                    help="Train conditional VAE.")
+    p.add_argument("--fused-epoch", type=int, default=1, choices=[0, 1],
+                   help="Compile each whole epoch (shuffle + datagen/gather + "
+                        "all steps) as ONE program.")
     p.add_argument("--free-bits", type=float, default=0.05,
                    help="Free bits threshold in nats per latent dim (0 disables).")
     p.set_defaults(uncond=False)
@@ -56,7 +59,11 @@ def main() -> int:
     from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
     from toycrystals_tpu.models import CondVAE, VAE
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
-    from toycrystals_tpu.train import create_train_state, make_vae_train_step
+    from toycrystals_tpu.train import (
+        create_train_state,
+        make_vae_train_epoch,
+        make_vae_train_step,
+    )
     from toycrystals_tpu.utils import save_checkpoint
     from toycrystals_tpu.utils.figures import (
         save_image_grid,
@@ -69,7 +76,8 @@ def main() -> int:
     key = jax.random.key(args.seed)
 
     # --- data source ---
-    if args.procedural or not args.data_path:
+    procedural = args.procedural or not args.data_path
+    if procedural:
         # Reference semantics: no data-path -> procedural full-variability set
         # (`train_vae.py:256-260`); --procedural keeps rot-only for figure parity.
         cfg = LatticeConfig(img_size=args.img_size, n_types=args.n_types,
@@ -99,7 +107,14 @@ def main() -> int:
     params = model.init({"params": key, "reparam": key}, *init_args)["params"]
     tx = optax.adam(args.lr)
     state = create_train_state(params, tx)
-    step = make_vae_train_step(model, tx, free_bits=args.free_bits, uncond=args.uncond)
+    if args.fused_epoch:
+        epoch_fn = make_vae_train_epoch(
+            model, tx, args.free_bits, args.batch_size, n_items, uncond=args.uncond,
+            lattice_cfg=cfg if procedural else None, dataset_seed=args.seed,
+            resident=None if procedural else (ds.x_u8, ds.y_cat, ds.y_cont),
+        )
+    else:
+        step = make_vae_train_step(model, tx, free_bits=args.free_bits, uncond=args.uncond)
 
     config = {
         "z_dim": args.z_dim, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
@@ -109,19 +124,24 @@ def main() -> int:
     loss_hist, recon_hist, kl_hist, klr_hist = [], [], [], []
     print("starting training loop...")
 
+    n_batches = n_items // args.batch_size
     for epoch in range(args.epochs):
         beta_eff = args.beta * min(1.0, (epoch + 1) / 5.0)  # warm-up (`train_vae.py:311`)
         t0 = time.perf_counter()
-        batch_metrics = []  # device arrays; one host sync per epoch, not per step
-        for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-            x, y_cat, y_cont = get_batch(bidx)
-            key, sub = jax.random.split(key)
-            state, m = step(state, x, y_cat, y_cont, jnp.float32(beta_eff), sub)
-            batch_metrics.append(m)
-        n_batches = len(batch_metrics)
-        stacked = jax.device_get(
-            jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *batch_metrics)
-        )
+        key, sub = jax.random.split(key)
+        if args.fused_epoch:
+            state, em = epoch_fn(state, jnp.float32(beta_eff), sub)
+            stacked = jax.device_get(em)
+        else:
+            batch_metrics = []  # device arrays; one host sync per epoch, not per step
+            for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+                x, y_cat, y_cont = get_batch(bidx)
+                sub, k_step = jax.random.split(sub)
+                state, m = step(state, x, y_cat, y_cont, jnp.float32(beta_eff), k_step)
+                batch_metrics.append(m)
+            stacked = jax.device_get(
+                jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *batch_metrics)
+            )
         dt = time.perf_counter() - t0
         avg = {k: float(v) for k, v in stacked.items()}
         loss_hist.append(avg["loss"])

@@ -1,6 +1,7 @@
 from toycrystals_tpu.train.state import TrainState, create_train_state
 from toycrystals_tpu.train.steps import (
     make_vae_train_step,
+    make_vae_train_epoch,
     make_prior_train_step,
     make_prior_train_epoch,
     make_sde_train_step,
@@ -11,6 +12,7 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_vae_train_step",
+    "make_vae_train_epoch",
     "make_prior_train_step",
     "make_prior_train_epoch",
     "make_sde_train_step",

@@ -154,6 +154,58 @@ def make_sde_train_step(
     return step
 
 
+def make_vae_train_epoch(
+    model,
+    tx: optax.GradientTransformation,
+    free_bits: float,
+    batch_size: int,
+    n_items: int,
+    uncond: bool = False,
+    lattice_cfg=None,
+    dataset_seed: int = 0,
+    resident: tuple | None = None,
+) -> Callable:
+    """A whole VAE training epoch as one compiled program (the reference
+    dispatches per batch, `train_vae.py:292-321`). Same data-source contract
+    as `make_sde_train_epoch`. beta_eff is a traced scalar so the per-epoch
+    KL warm-up (`train_vae.py:311`) does not recompile.
+
+    Returns epoch_fn(state, beta_eff, key) -> (state, mean metrics dict).
+    """
+    if (lattice_cfg is None) == (resident is None):
+        raise ValueError("pass exactly one of lattice_cfg / resident")
+    from toycrystals_tpu.data.datasets import generate_batch
+
+    n_steps = n_items // batch_size
+    if n_steps == 0:
+        raise ValueError(f"n_items {n_items} < batch_size {batch_size}")
+    step_fn = make_vae_train_step(model, tx, free_bits, uncond=uncond)
+
+    def get_batch(idx):
+        if lattice_cfg is not None:
+            return generate_batch(lattice_cfg, dataset_seed, idx)
+        x_u8, y_cat, y_cont = resident
+        return x_u8[idx].astype(jnp.float32) / 255.0, y_cat[idx], y_cont[idx]
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, beta_eff, key):
+        k_shuffle, k_steps = jax.random.split(key)
+        order = jax.random.permutation(k_shuffle, n_items)[: n_steps * batch_size]
+        order = order.reshape(n_steps, batch_size)
+
+        def body(state, inp):
+            idx, i = inp
+            x, y_cat, y_cont = get_batch(idx)
+            state, m = step_fn(state, x, y_cat, y_cont, beta_eff,
+                               jax.random.fold_in(k_steps, i))
+            return state, m
+
+        state, ms = jax.lax.scan(body, state, (order, jnp.arange(n_steps)))
+        return state, jax.tree.map(jnp.mean, ms)
+
+    return epoch_fn
+
+
 def make_prior_train_epoch(
     model,
     tx: optax.GradientTransformation,
