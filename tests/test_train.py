@@ -166,3 +166,47 @@ def test_sde_fused_epoch_requires_one_source():
     with pytest.raises(ValueError):
         make_sde_train_epoch(model, optax.adam(1e-3), VPSDE(0.1, 30.0),
                              4, 0.1, 1.0, 0.0, 8, 16)
+
+
+def test_vae_fused_epoch_procedural():
+    from toycrystals_tpu.data import LatticeConfig
+    from toycrystals_tpu.train import make_vae_train_epoch
+
+    model = CondVAE(z_dim=4, n_types=4, y_cont_dim=4)
+    cfg = LatticeConfig(img_size=64, rot_only=True)
+    x = jnp.zeros((2, 64, 64, 1))
+    ycat = jnp.zeros((2,), jnp.int32)
+    ycont = jnp.zeros((2, 4))
+    params = model.init({"params": K, "reparam": K}, x, ycat, ycont)["params"]
+    tx = optax.adam(2e-3)
+    state = create_train_state(params, tx)
+    epoch_fn = make_vae_train_epoch(model, tx, 0.05, batch_size=8, n_items=17,
+                                    lattice_cfg=cfg)
+    m0 = None
+    for e in range(3):
+        state, m = epoch_fn(state, jnp.float32(3e-4), jax.random.fold_in(K, e))
+        m0 = m0 or {k: float(v) for k, v in m.items()}
+    assert int(state.step) == 3 * 2  # 17 // 8 = 2 steps per epoch, drop-last
+    assert set(m.keys()) == {"loss", "recon", "kl", "kl_raw"}
+    assert float(m["loss"]) < m0["loss"]
+
+
+def test_prior_fused_epoch_buckets_aggregate():
+    from toycrystals_tpu.train import make_prior_train_epoch
+
+    n, z_dim = 40, 8
+    z0 = jax.random.normal(K, (n, z_dim))
+    ycat = jnp.arange(n, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((n, 4))
+    model = DiffusionPriorFiLM(z_dim=z_dim, n_types=4, y_cont_dim=4, width=32,
+                               n_blocks=2, y_cat_emb_dim=8)
+    params = model.init(K, z0[:2], jnp.zeros((2,), jnp.int32), ycat[:2], ycont[:2])["params"]
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    sched = DiffusionSchedule.linear(100, 1e-4, 0.05)
+    epoch_fn = make_prior_train_epoch(model, tx, 100, batch_size=8, latents=(z0, ycat, ycont))
+    state, m = epoch_fn(state, sched, K)
+    assert int(state.step) == 5
+    # every training sample lands in exactly one bucket, summed over the epoch
+    assert float(jnp.sum(m["bucket_n"])) == 5 * 8
+    assert np.isfinite(float(m["loss"]))
