@@ -86,6 +86,10 @@ def main() -> int:
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
                         "per epoch. 0 falls back to one dispatch per batch.")
+    p.add_argument("--init", type=str, default="flax", choices=["flax", "torch"],
+                   help="Parameter init: flax defaults, or torch-default "
+                        "statistics for apples-to-apples loss-curve "
+                        "comparison with the reference.")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="Save the checkpoint every N epochs (always at the "
                         "end). The reference saves every epoch; on a tunneled "
@@ -160,6 +164,10 @@ def main() -> int:
         jnp.zeros((2, args.y_cont_dim)),
     )
     params = model.init(key, *dummy)["params"]
+    if args.init == "torch":
+        from toycrystals_tpu.models.torch_init import torch_like_init
+
+        params = torch_like_init(jax.random.fold_in(key, 7), params)
     tx = optax.adam(args.lr)
     if args.ema_decay != 0.0 and not (0.0 < args.ema_decay < 1.0):
         raise ValueError("--ema-decay must be in (0,1) or 0 to disable.")

@@ -9,6 +9,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
@@ -63,3 +64,36 @@ def test_resident_disk_dataset_gather(tmp_path):
     np.testing.assert_allclose(np.asarray(x), x_u8[[3, 0, 19]].astype(np.float32) / 255.0)
     np.testing.assert_array_equal(np.asarray(yc), y_cat[[3, 0, 19]])
     np.testing.assert_allclose(np.asarray(yv), y_cont[[3, 0, 19]])
+
+
+def test_torch_like_init_statistics():
+    """Kernels U(+-1/sqrt(fan_in)), embeddings N(0,1), norm params untouched."""
+    import jax.numpy as jnp
+
+    from toycrystals_tpu.models import CondUNetTiny
+    from toycrystals_tpu.models.torch_init import torch_like_init
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=16, emb_dim=32)
+    params = model.init(K, jnp.zeros((2, 16, 16, 1)), jnp.zeros((2,)),
+                        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+    new = torch_like_init(jax.random.key(1), params)
+
+    flat = jax.tree_util.tree_flatten_with_path(new)[0]
+    checked_kernel = checked_emb = checked_norm = False
+    for path, leaf in flat:
+        names = tuple(getattr(p, "key", str(p)) for p in path)
+        arr = np.asarray(leaf)
+        if names[-1] == "kernel" and arr.ndim == 4 and arr.size > 4000:
+            fan_in = arr.shape[0] * arr.shape[1] * arr.shape[2]
+            bound = 1.0 / np.sqrt(fan_in)
+            assert np.abs(arr).max() <= bound + 1e-7
+            assert np.std(arr) == pytest.approx(bound / np.sqrt(3.0), rel=0.1)
+            checked_kernel = True
+        if names[-1] == "embedding":
+            assert np.std(arr) == pytest.approx(1.0, rel=0.25)
+            checked_emb = True
+        if names[-1] == "scale":  # GroupNorm scale stays at 1
+            assert np.all(arr == 1.0)
+            checked_norm = True
+    assert checked_kernel and checked_emb and checked_norm
+
