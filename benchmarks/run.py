@@ -106,13 +106,14 @@ def main() -> int:
 
     # --- SDE / ODE sampling (bf16 compute) ---
     b = args.sample_batch
-    unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
-                        dtype=jnp.bfloat16)
-    uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
-                        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
-    uapply = lambda prm, xt, t, yc, yv: unet.apply({"params": prm}, xt, t, yc, yv)
     sde = VPSDE(0.1, 30.0)
-    y_cat, y_cont = sample_grid_conditions(b, 4, 4)
+    if want("sde") or want("ode") or args.stretch:
+        unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
+                            dtype=jnp.bfloat16)
+        uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+        uapply = lambda prm, xt, t, yc, yv: unet.apply({"params": prm}, xt, t, yc, yv)
+        y_cat, y_cont = sample_grid_conditions(b, 4, 4)
 
     if want("sde"):
         dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
@@ -242,10 +243,19 @@ def main() -> int:
                 "n_devices": len(jax.devices()), "steps": args.steps, "cfg": 1.5,
             }
 
+    # Merge into any existing results file so a partial --only rerun updates
+    # its sections instead of wiping the full table.
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(results, indent=2))
-    print(json.dumps(results, indent=2))
+    merged = {}
+    if out.exists():
+        try:
+            merged = json.loads(out.read_text())
+        except (json.JSONDecodeError, OSError):
+            merged = {}
+    merged.update(results)
+    out.write_text(json.dumps(merged, indent=2))
+    print(json.dumps(merged, indent=2))
     return 0
 
 

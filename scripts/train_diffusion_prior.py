@@ -60,7 +60,7 @@ def main() -> int:
                         "bucket diagnostics) as ONE program.")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="Save the prior checkpoint every N epochs (always at "
-                        "the end).")
+                        "the end; 0 = end only).")
     p.add_argument("--sample-every", type=int, default=1,
                    help="epochs between sample grids (reference samples every epoch)")
     args = p.parse_args()
@@ -225,7 +225,9 @@ def main() -> int:
         print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
               f"({steps_per_epoch * args.batch_size / dt:.0f} z/s)")
 
-        if ((epoch + 1) % args.ckpt_every == 0) or (epoch == args.epochs - 1):
+        if (args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0) or (
+            epoch == args.epochs - 1
+        ):
             save_checkpoint(args.prior_ckpt, {
                 "params": state.params,
                 "config": {"z_dim": vae_z_dim, "n_types": args.n_types,

@@ -78,10 +78,12 @@ def main() -> int:
     p.add_argument("--t-end", type=float, default=1e-3)
     p.add_argument("--sample-from-ema", type=int, default=1, choices=[0, 1],
                    help="If EMA enabled, save sample grids using EMA weights.")
-    p.add_argument("--dtype", type=str, default="float32",
+    p.add_argument("--dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="Computation dtype (params stay float32). bfloat16 "
-                        "runs activations on the MXU at 2x peak FLOPs.")
+                        "runs activations on the MXU at 2x peak FLOPs. "
+                        "Default: float32, or the checkpoint's dtype on "
+                        "--resume.")
     p.add_argument("--fused-epoch", type=int, default=1, choices=[0, 1],
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
@@ -92,8 +94,9 @@ def main() -> int:
                         "comparison with the reference.")
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="Save the checkpoint every N epochs (always at the "
-                        "end). The reference saves every epoch; on a tunneled "
-                        "TPU each save pulls the full state to the host.")
+                        "end; 0 = end only). The reference saves every epoch; "
+                        "on a tunneled TPU each save pulls the full state to "
+                        "the host.")
 
     args = p.parse_args()
     select_device(args.device)
@@ -114,7 +117,13 @@ def main() -> int:
         make_sde_train_epoch,
         make_sde_train_step,
     )
-    from toycrystals_tpu.utils import append_jsonl, ensure_file, load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils import (
+        append_jsonl,
+        ensure_file,
+        load_checkpoint,
+        save_checkpoint,
+        truncate_jsonl,
+    )
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves
 
     if args.out_dir is None:
@@ -146,10 +155,19 @@ def main() -> int:
         img_size = int(ds.x_u8.shape[1])
         get_batch = ds.gather
 
+    # Peek the checkpoint BEFORE building the model: on --resume the saved
+    # config decides the computation dtype unless --dtype overrides it.
+    resume_raw = None
+    if args.resume and os.path.exists(ckpt_path):
+        resume_raw = load_checkpoint(ckpt_path)
+    dtype_name = args.dtype or str(
+        (resume_raw or {}).get("config", {}).get("dtype") or "float32"
+    )
+
     # --- model + sde + state ---
     # --dtype bfloat16 = mixed precision: bf16 activations on the MXU, f32
     # parameters/optimiser/EMA (flax `dtype` only sets computation dtype).
-    comp_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    comp_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = CondUNetTiny(
         n_types=args.n_types, y_cont_dim=args.y_cont_dim, base_ch=args.base_ch,
         emb_dim=args.emb_dim, cond_ch=args.cond_ch, time_ch=args.time_ch,
@@ -190,19 +208,21 @@ def main() -> int:
         "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
         "base_ch": args.base_ch, "emb_dim": args.emb_dim, "cond_ch": args.cond_ch,
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
-        "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": args.dtype,
+        "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": dtype_name,
     }
 
     start_epoch = 0
     loss_hist: list[float] = []
-    if args.resume and os.path.exists(ckpt_path):
+    if resume_raw is not None:
         import flax.serialization as ser
 
-        raw = load_checkpoint(ckpt_path)  # raw nested dict (variable-length lists)
-        state = ser.from_state_dict(state, raw["state"])
-        start_epoch = int(raw["epoch_next"])
-        hist = raw.get("loss_hist", [])
+        state = ser.from_state_dict(state, resume_raw["state"])
+        start_epoch = int(resume_raw["epoch_next"])
+        hist = resume_raw.get("loss_hist", [])
         loss_hist = [float(v) for v in (hist.values() if isinstance(hist, dict) else hist)]
+        # --ckpt-every N > 1 means metrics.jsonl can be ahead of the restored
+        # epoch; drop those rows so the re-trained epochs don't duplicate them.
+        truncate_jsonl(metrics_path, "epoch", start_epoch)
         if start_epoch > 0:
             print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
 
@@ -246,7 +266,9 @@ def main() -> int:
         ips = steps_per_epoch * args.batch_size / dt
         print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")
 
-        if ((epoch + 1) % args.ckpt_every == 0) or (epoch == args.epochs - 1):
+        if (args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0) or (
+            epoch == args.epochs - 1
+        ):
             save_checkpoint(ckpt_path, {
                 "epoch_next": epoch + 1, "state": state,
                 "loss_hist": loss_hist, "config": config,

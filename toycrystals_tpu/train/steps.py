@@ -154,6 +154,57 @@ def make_sde_train_step(
     return step
 
 
+def _batch_source(lattice_cfg, dataset_seed: int, resident: tuple | None):
+    """Resolve a fused-epoch data source to get_batch(idx) -> (x, y_cat, y_cont).
+
+    Exactly one of:
+      lattice_cfg — procedural: batches rendered on device per step from
+        fold_in(dataset_seed, idx), identical items to the indexable dataset;
+      resident — (x_u8 [N,H,W,1] u8, y_cat [N] i32, y_cont [N,4] f32) device
+        arrays: the disk archive, gathered (and u8 -> f32/255 decoded) on
+        device per step (same decode as ResidentDiskDataset.gather).
+    """
+    if (lattice_cfg is None) == (resident is None):
+        raise ValueError("pass exactly one of lattice_cfg / resident")
+    if lattice_cfg is not None:
+        from toycrystals_tpu.data.datasets import generate_batch
+
+        return lambda idx: generate_batch(lattice_cfg, dataset_seed, idx)
+    x_u8, y_cat, y_cont = resident
+    return lambda idx: (x_u8[idx].astype(jnp.float32) / 255.0, y_cat[idx], y_cont[idx])
+
+
+def _make_epoch(run_batch: Callable, n_items: int, batch_size: int, aggregate: Callable):
+    """Common fused-epoch scaffolding: ONE jitted program per epoch containing
+    the on-device index shuffle (`jax.random.permutation`, drop-last — same
+    semantics as `batch_iterator`) and a `lax.scan` over all steps. Zero host
+    round-trips per epoch — on a tunneled TPU this removes ~steps_per_epoch
+    dispatch latencies vs the reference's one-eager-step-per-batch loops.
+
+    run_batch(state, idx, key, *extra) -> (state, metrics) does one step;
+    aggregate(ms) reduces the scanned metrics. Returns the jitted
+    epoch(state, key, *extra) with the state donated.
+    """
+    n_steps = n_items // batch_size
+    if n_steps == 0:
+        raise ValueError(f"n_items {n_items} < batch_size {batch_size}")
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, key, *extra):
+        k_shuffle, k_steps = jax.random.split(key)
+        order = jax.random.permutation(k_shuffle, n_items)[: n_steps * batch_size]
+        order = order.reshape(n_steps, batch_size)
+
+        def body(state, inp):
+            idx, i = inp
+            return run_batch(state, idx, jax.random.fold_in(k_steps, i), *extra)
+
+        state, ms = jax.lax.scan(body, state, (order, jnp.arange(n_steps)))
+        return state, aggregate(ms)
+
+    return epoch_fn
+
+
 def make_vae_train_epoch(
     model,
     tx: optax.GradientTransformation,
@@ -166,44 +217,22 @@ def make_vae_train_epoch(
     resident: tuple | None = None,
 ) -> Callable:
     """A whole VAE training epoch as one compiled program (the reference
-    dispatches per batch, `train_vae.py:292-321`). Same data-source contract
-    as `make_sde_train_epoch`. beta_eff is a traced scalar so the per-epoch
-    KL warm-up (`train_vae.py:311`) does not recompile.
+    dispatches per batch, `train_vae.py:292-321`). Data-source contract:
+    see `_batch_source`. beta_eff is a traced scalar so the per-epoch KL
+    warm-up (`train_vae.py:311`) does not recompile.
 
     Returns epoch_fn(state, beta_eff, key) -> (state, mean metrics dict).
     """
-    if (lattice_cfg is None) == (resident is None):
-        raise ValueError("pass exactly one of lattice_cfg / resident")
-    from toycrystals_tpu.data.datasets import generate_batch
-
-    n_steps = n_items // batch_size
-    if n_steps == 0:
-        raise ValueError(f"n_items {n_items} < batch_size {batch_size}")
     step_fn = make_vae_train_step(model, tx, free_bits, uncond=uncond)
+    get_batch = _batch_source(lattice_cfg, dataset_seed, resident)
 
-    def get_batch(idx):
-        if lattice_cfg is not None:
-            return generate_batch(lattice_cfg, dataset_seed, idx)
-        x_u8, y_cat, y_cont = resident
-        return x_u8[idx].astype(jnp.float32) / 255.0, y_cat[idx], y_cont[idx]
+    def run_batch(state, idx, key, beta_eff):
+        x, y_cat, y_cont = get_batch(idx)
+        return step_fn(state, x, y_cat, y_cont, beta_eff, key)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state: TrainState, beta_eff, key):
-        k_shuffle, k_steps = jax.random.split(key)
-        order = jax.random.permutation(k_shuffle, n_items)[: n_steps * batch_size]
-        order = order.reshape(n_steps, batch_size)
-
-        def body(state, inp):
-            idx, i = inp
-            x, y_cat, y_cont = get_batch(idx)
-            state, m = step_fn(state, x, y_cat, y_cont, beta_eff,
-                               jax.random.fold_in(k_steps, i))
-            return state, m
-
-        state, ms = jax.lax.scan(body, state, (order, jnp.arange(n_steps)))
-        return state, jax.tree.map(jnp.mean, ms)
-
-    return epoch_fn
+    epoch = _make_epoch(run_batch, n_items, batch_size,
+                        lambda ms: jax.tree.map(jnp.mean, ms))
+    return lambda state, beta_eff, key: epoch(state, key, beta_eff)
 
 
 def make_prior_train_epoch(
@@ -217,41 +246,26 @@ def make_prior_train_epoch(
     reference dispatches per batch, `train_diffusion_prior.py:240-277`).
 
     latents = (z0_norm [N,z] f32, y_cat [N] i32, y_cont [N,4] f32) device
-    arrays (the standardised latent cache). Shuffle + all steps + the 4-bucket
-    diagnostics run inside one `lax.scan`; bucket sums/counts are aggregated
-    across the epoch on device.
+    arrays (the standardised latent cache). The 4-bucket diagnostics are
+    aggregated across the epoch on device.
 
     Returns epoch_fn(state, sched, key) -> (state, {loss, bucket_sum, bucket_n}).
     """
     z0n, y_cat_all, y_cont_all = latents
-    n_items = int(z0n.shape[0])
-    n_steps = n_items // batch_size
-    if n_steps == 0:
-        raise ValueError(f"n_items {n_items} < batch_size {batch_size}")
     step_fn = make_prior_train_step(model, tx, T)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state: TrainState, sched, key):
-        k_shuffle, k_steps = jax.random.split(key)
-        order = jax.random.permutation(k_shuffle, n_items)[: n_steps * batch_size]
-        order = order.reshape(n_steps, batch_size)
+    def run_batch(state, idx, key, sched):
+        return step_fn(state, sched, z0n[idx], y_cat_all[idx], y_cont_all[idx], key)
 
-        def body(state, inp):
-            idx, i = inp
-            state, m = step_fn(
-                state, sched, z0n[idx], y_cat_all[idx], y_cont_all[idx],
-                jax.random.fold_in(k_steps, i),
-            )
-            return state, m
-
-        state, ms = jax.lax.scan(body, state, (order, jnp.arange(n_steps)))
-        return state, {
+    epoch = _make_epoch(
+        run_batch, int(z0n.shape[0]), batch_size,
+        lambda ms: {
             "loss": jnp.mean(ms["loss"]),
             "bucket_sum": jnp.sum(ms["bucket_sum"], axis=0),
             "bucket_n": jnp.sum(ms["bucket_n"], axis=0),
-        }
-
-    return epoch_fn
+        },
+    )
+    return lambda state, sched, key: epoch(state, key, sched)
 
 
 def make_sde_train_epoch(
@@ -268,52 +282,20 @@ def make_sde_train_epoch(
     dataset_seed: int = 0,
     resident: tuple | None = None,
 ) -> Callable:
-    """A WHOLE training epoch as one compiled program (new TPU-native scope —
-    the reference dispatches one eager step per batch from a Python loop,
-    `/root/reference/scripts/train_sde_score_model.py:212-243`).
-
-    Inside one `lax.scan`: on-device index shuffle (`jax.random.permutation`,
-    drop-last — same semantics as `batch_iterator`), per-step batch
-    materialisation, loss/grad/update/EMA. Zero host round-trips per epoch —
-    on a tunneled TPU this removes ~steps_per_epoch dispatch latencies.
-
-    Data source (exactly one):
-      lattice_cfg — procedural: batches rendered on device per step from
-        fold_in(dataset_seed, idx), identical items to the indexable dataset;
-      resident — (x_u8 [N,H,W,1] u8, y_cat [N] i32, y_cont [N,4] f32) device
-        arrays: the disk archive, gathered on device per step.
+    """A whole SDE training epoch as one compiled program (new TPU-native
+    scope — the reference runs one eager step per batch from a Python loop,
+    `/root/reference/scripts/train_sde_score_model.py:212-243`): shuffle,
+    per-step batch materialisation, loss/grad/update/EMA, all in one scan.
+    Data-source contract: see `_batch_source`.
 
     Returns epoch_fn(state, key) -> (state, mean_loss). `key` drives both the
     shuffle and the per-step loss randomness; the state is donated.
     """
-    if (lattice_cfg is None) == (resident is None):
-        raise ValueError("pass exactly one of lattice_cfg / resident")
-    from toycrystals_tpu.data.datasets import generate_batch
-
-    n_steps = n_items // batch_size
-    if n_steps == 0:
-        raise ValueError(f"n_items {n_items} < batch_size {batch_size}")
     step_fn = make_sde_train_step(model, tx, sde, n_types, p_uncond, t_power, ema_decay)
+    get_batch = _batch_source(lattice_cfg, dataset_seed, resident)
 
-    def get_batch(idx):
-        if lattice_cfg is not None:
-            return generate_batch(lattice_cfg, dataset_seed, idx)
-        x_u8, y_cat, y_cont = resident
-        return x_u8[idx].astype(jnp.float32) / 255.0, y_cat[idx], y_cont[idx]
+    def run_batch(state, idx, key):
+        x0, y_cat, y_cont = get_batch(idx)
+        return step_fn(state, x0, y_cat, y_cont, key)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state: TrainState, key):
-        k_shuffle, k_steps = jax.random.split(key)
-        order = jax.random.permutation(k_shuffle, n_items)[: n_steps * batch_size]
-        order = order.reshape(n_steps, batch_size)
-
-        def body(state, inp):
-            idx, i = inp
-            x0, y_cat, y_cont = get_batch(idx)
-            state, loss = step_fn(state, x0, y_cat, y_cont, jax.random.fold_in(k_steps, i))
-            return state, loss
-
-        state, losses = jax.lax.scan(body, state, (order, jnp.arange(n_steps)))
-        return state, jnp.mean(losses)
-
-    return epoch_fn
+    return _make_epoch(run_batch, n_items, batch_size, jnp.mean)

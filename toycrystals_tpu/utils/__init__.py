@@ -1,5 +1,5 @@
 from toycrystals_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
-from toycrystals_tpu.utils.metrics import append_jsonl, ensure_file
+from toycrystals_tpu.utils.metrics import append_jsonl, ensure_file, truncate_jsonl
 from toycrystals_tpu.utils.profiling import dispatch_latency, scan_timer
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "load_checkpoint",
     "append_jsonl",
     "ensure_file",
+    "truncate_jsonl",
     "dispatch_latency",
     "scan_timer",
 ]

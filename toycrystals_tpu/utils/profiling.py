@@ -60,7 +60,9 @@ def scan_timer(
     jax.device_get(f_hi(carry0))
     t_lo = min(_time_once(lambda: f_lo(carry0)) for _ in range(repeats))
     t_hi = min(_time_once(lambda: f_hi(carry0)) for _ in range(repeats))
-    return max((t_hi - t_lo) / (n_hi - n_lo), 0.0)
+    # Clamp to a tiny POSITIVE floor: on a noisy link min(t_hi) can dip below
+    # min(t_lo), and callers divide by the result — never return 0.
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
 
 def dispatch_latency(repeats: int = 5) -> float:
