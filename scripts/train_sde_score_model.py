@@ -88,6 +88,9 @@ def main() -> int:
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
                         "per epoch. 0 falls back to one dispatch per batch.")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="Capture a jax.profiler (XPlane/Perfetto) trace of one "
+                        "post-warmup epoch into this directory.")
     p.add_argument("--init", type=str, default="flax", choices=["flax", "torch"],
                    help="Parameter init: flax defaults, or torch-default "
                         "statistics for apples-to-apples loss-curve "
@@ -247,20 +250,31 @@ def main() -> int:
     ensure_file(metrics_path)
 
     steps_per_epoch = n_items // args.batch_size
+    # Profile the SECOND trained epoch (first is compile + warmup).
+    profile_epoch = start_epoch + 1 if args.epochs - start_epoch > 1 else start_epoch
+    import contextlib
+
     for epoch in range(start_epoch, args.epochs):
+        profiling = (
+            jax.profiler.trace(args.profile_dir)
+            if (args.profile_dir and epoch == profile_epoch)
+            else contextlib.nullcontext()
+        )
         t0 = time.perf_counter()
         key, sub = jax.random.split(key)
         if args.fused_epoch:
-            state, avg = epoch_fn(state, sub)
-            avg = float(avg)
+            with profiling:
+                state, avg = epoch_fn(state, sub)
+                avg = float(avg)
         else:
-            losses = []
-            for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-                x0, y_cat, y_cont = get_batch(bidx)
-                sub, k_step = jax.random.split(sub)
-                state, loss = step(state, x0, y_cat, y_cont, k_step)
-                losses.append(loss)
-            avg = float(jnp.mean(jnp.stack(losses)))
+            with profiling:
+                losses = []
+                for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+                    x0, y_cat, y_cont = get_batch(bidx)
+                    sub, k_step = jax.random.split(sub)
+                    state, loss = step(state, x0, y_cat, y_cont, k_step)
+                    losses.append(loss)
+                avg = float(jnp.mean(jnp.stack(losses)))
         dt = time.perf_counter() - t0
         loss_hist.append(avg)
         ips = steps_per_epoch * args.batch_size / dt
