@@ -128,8 +128,9 @@ def main() -> int:
         sample_probability_flow_ode if args.sampler == "ode"
         else sample_reverse_sde_euler_maruyama
     )
+    img_size = int(cfg.get("img_size", 64))
     x = sampler_fn(
-        apply_fn, params, sde, y_cat, y_cont, (args.n, 64, 64, 1),
+        apply_fn, params, sde, y_cat, y_cont, (args.n, img_size, img_size, 1),
         jax.random.key(args.seed), n_steps=args.steps,
         guidance_scale=args.cfg, t_end=args.t_end, n_types=int(cfg["n_types"]),
     )

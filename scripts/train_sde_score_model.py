@@ -38,6 +38,10 @@ def main() -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--data-path", type=str, default="data/toycrystals_train_rotonly.npz")
+    p.add_argument("--img-size", type=int, default=64,
+                   help="Lattice image size for --procedural data (the U-Net "
+                        "is fully convolutional; disk data infers its own "
+                        "size). The 256 stretch config trains at --img-size 256.")
     p.add_argument("--procedural", action="store_true",
                    help="rasterize rot-only batches on device, no files")
     p.add_argument("--n-samples", type=int, default=50_000,
@@ -144,7 +148,7 @@ def main() -> int:
     key = jax.random.key(args.seed)
 
     # --- data ---
-    img_size = 64
+    img_size = args.img_size
     procedural = args.procedural or not args.data_path
     if procedural:
         cfg = LatticeConfig(img_size=img_size, n_types=args.n_types, rot_only=True)
@@ -208,7 +212,8 @@ def main() -> int:
 
     # Self-describing config embedded in the ckpt (`train_sde_score_model.py:179-192`).
     config = {
-        "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
+        "img_ch": 1, "img_size": img_size,
+        "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
         "base_ch": args.base_ch, "emb_dim": args.emb_dim, "cond_ch": args.cond_ch,
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
         "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": dtype_name,
