@@ -38,6 +38,8 @@ def main() -> int:
     fig, ax = plt.subplots(figsize=(7, 4.5))
     for path, label, style in ((args.ours, lab_ours, "-"), (args.theirs, lab_theirs, "--")):
         e, l = load(path)
+        if not e:
+            raise SystemExit(f"error: {path} has no metric rows")
         ax.plot(e, l, style, label=f"{label} (final {l[-1]:.5f})")
     ax.set_yscale("log")
     ax.set_xlabel("epoch")

@@ -38,10 +38,12 @@ def main() -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--data-path", type=str, default="data/toycrystals_train_rotonly.npz")
-    p.add_argument("--img-size", type=int, default=64,
+    p.add_argument("--img-size", type=int, default=None,
                    help="Lattice image size for --procedural data (the U-Net "
                         "is fully convolutional; disk data infers its own "
-                        "size). The 256 stretch config trains at --img-size 256.")
+                        "size). Default: 64, or the checkpoint's img_size on "
+                        "--resume. The 256 stretch config trains at "
+                        "--img-size 256.")
     p.add_argument("--procedural", action="store_true",
                    help="rasterize rot-only batches on device, no files")
     p.add_argument("--n-samples", type=int, default=50_000,
@@ -147,6 +149,18 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
 
+    # Peek the checkpoint BEFORE anything is built: on --resume the saved
+    # config decides the computation dtype and procedural img_size unless the
+    # flags override them.
+    resume_raw = None
+    if args.resume and os.path.exists(ckpt_path):
+        resume_raw = load_checkpoint(ckpt_path)
+    dtype_name = args.dtype or str(
+        (resume_raw or {}).get("config", {}).get("dtype") or "float32"
+    )
+    if args.img_size is None:
+        args.img_size = int((resume_raw or {}).get("config", {}).get("img_size") or 64)
+
     # --- data ---
     img_size = args.img_size
     procedural = args.procedural or not args.data_path
@@ -161,15 +175,6 @@ def main() -> int:
         n_items = len(ds)
         img_size = int(ds.x_u8.shape[1])
         get_batch = ds.gather
-
-    # Peek the checkpoint BEFORE building the model: on --resume the saved
-    # config decides the computation dtype unless --dtype overrides it.
-    resume_raw = None
-    if args.resume and os.path.exists(ckpt_path):
-        resume_raw = load_checkpoint(ckpt_path)
-    dtype_name = args.dtype or str(
-        (resume_raw or {}).get("config", {}).get("dtype") or "float32"
-    )
 
     # --- model + sde + state ---
     # --dtype bfloat16 = mixed precision: bf16 activations on the MXU, f32
