@@ -16,5 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "float32")
+# TOYCRYSTALS_TEST_TPU=1 keeps the real TPU backend (used to run the
+# TPU-only kernel tests, e.g. tests/test_flash_attention.py).
+if os.environ.get("TOYCRYSTALS_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "float32")

@@ -3,12 +3,25 @@
 Mirrors the capability of the reference's SelfAttention2d
 (`/root/reference/src/toycrystals/models/sde_score_model.py:114-167`):
 GroupNorm -> 1x1 QKV -> multi-head SDPA -> 1x1 proj -> residual. In NHWC a
-1x1 conv is a Dense over the channel axis, and the SDPA goes through
-`jax.nn.dot_product_attention`, which XLA lowers to a fused TPU attention
-(flash-style) kernel. Used once at the 16x16 U-Net bottleneck (256 tokens).
+1x1 conv is a Dense over the channel axis.
+
+Two SDPA backends, selected by `attn_impl`:
+- "xla" — `jax.nn.dot_product_attention`: XLA materialises the [B, H, N, N]
+  logits. Fine at the 64x64-image bottleneck (N=256 tokens), but at the
+  256x256 stretch config (N=4096) the logits buffer is B x 134 MB and caps
+  per-chip training batch at ~16 (benchmarks/NOTES.md).
+- "flash" — the Pallas TPU flash-attention kernel
+  (`jax.experimental.pallas.ops.tpu.flash_attention`, blockwise online
+  softmax, custom VJP): never materialises the logits, removing that cap.
+  The kernel handles head_dim < 128 natively (verified fwd+bwd on v5e) and
+  requires seq_len % 128 == 0.
+- "auto" — flash on TPU when N >= 2048 (where the logits buffer starts to
+  matter) and the kernel's constraints hold, else xla.
 """
 
 from __future__ import annotations
+
+import math
 
 import flax.linen as nn
 import jax
@@ -23,11 +36,28 @@ def gn_groups(ch: int) -> int:
     return 1
 
 
+_FLASH_MAX_HEAD_DIM = 128  # the kernel supports head_dim <= one 128-lane tile
+
+
+def _flash_sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Blockwise (flash) SDPA on [B, N, H, D] tensors, exact math."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    d = q.shape[-1]
+    if d > _FLASH_MAX_HEAD_DIM:
+        raise ValueError(f"flash path supports head_dim <= 128, got {d}; use xla")
+    # kernel layout is [B, H, N, D]
+    q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    o = flash_attention(q, k, v, causal=False, sm_scale=1.0 / math.sqrt(d))
+    return o.transpose(0, 2, 1, 3)
+
+
 class SelfAttention2d(nn.Module):
     """Multi-head self-attention over the H*W spatial tokens of [B,H,W,C]."""
 
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"  # auto | xla | flash
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -42,7 +72,25 @@ class SelfAttention2d(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # [B, N, heads, hd]
 
-        o = jax.nn.dot_product_attention(q, k, v)                # fused SDPA
+        impl = self.attn_impl
+        if impl == "auto":
+            # flash only where it helps AND the kernel's block constraint
+            # holds (kv_seq_len % 128 == 0) — e.g. img_size 224 gives
+            # 56x56 = 3136 tokens, which must stay on the xla path.
+            impl = (
+                "flash"
+                if (
+                    n >= 2048
+                    and n % 128 == 0
+                    and head_dim <= _FLASH_MAX_HEAD_DIM
+                    and jax.default_backend() == "tpu"
+                )
+                else "xla"
+            )
+        if impl == "flash":
+            o = _flash_sdpa(q, k, v)
+        else:
+            o = jax.nn.dot_product_attention(q, k, v)            # fused XLA SDPA
         o = o.reshape(b, h, w, c)
         o = nn.Dense(c, dtype=self.dtype, name="proj")(o)
         return x + o
