@@ -56,6 +56,7 @@ def main() -> int:
     # fallback SDE config
     p.add_argument("--beta-min", type=float, default=0.1)
     p.add_argument("--beta-max", type=float, default=30.0)
+    p.add_argument("--logsnr-shift", type=float, default=0.0)
 
     p.add_argument("--out-path", default=None, help="Where to save the sample grid png")
     p.add_argument("--dtype", type=str, default="auto",
@@ -109,6 +110,7 @@ def main() -> int:
     sde = VPSDE(
         beta_min=float(cfg.get("beta_min", 0.1)),
         beta_max=float(cfg.get("beta_max", 30.0)),
+        logsnr_shift=float(cfg.get("logsnr_shift", args.logsnr_shift)),
     )
 
     if args.out_path is None:

@@ -66,6 +66,11 @@ def main() -> int:
     # SDE schedule
     p.add_argument("--beta-min", type=float, default=0.1)
     p.add_argument("--beta-max", type=float, default=30.0)
+    p.add_argument("--logsnr-shift", type=float, default=0.0,
+                   help="Shift the schedule's log-SNR profile by this many "
+                        "nats (0 = the reference schedule). Training at "
+                        "resolution R with the 64x64-tuned schedule wants "
+                        "2*ln(64/R), e.g. -2.77 at 256x256.")
 
     # Training
     p.add_argument("--batch-size", type=int, default=128)
@@ -185,7 +190,8 @@ def main() -> int:
         emb_dim=args.emb_dim, cond_ch=args.cond_ch, time_ch=args.time_ch,
         dtype=comp_dtype,
     )
-    sde = VPSDE(beta_min=args.beta_min, beta_max=args.beta_max)
+    sde = VPSDE(beta_min=args.beta_min, beta_max=args.beta_max,
+                logsnr_shift=args.logsnr_shift)
 
     dummy = (
         jnp.zeros((2, img_size, img_size, 1)),
@@ -221,6 +227,7 @@ def main() -> int:
         "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
         "base_ch": args.base_ch, "emb_dim": args.emb_dim, "cond_ch": args.cond_ch,
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
+        "logsnr_shift": args.logsnr_shift,
         "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": dtype_name,
     }
 

@@ -85,6 +85,33 @@ def test_vpsde_identities():
     assert float(sde.sigma(jnp.array(1.0))) == pytest.approx(1.0, abs=1e-3)
 
 
+def test_vpsde_logsnr_shift():
+    """Shifted schedule: shift=0 is the base schedule exactly; shift=c moves
+    the log-SNR by c nats while keeping all VP-SDE identities."""
+    t = jnp.linspace(1e-4, 1.0, 101)
+    base = VPSDE(0.1, 30.0)
+    zero = VPSDE(0.1, 30.0, logsnr_shift=0.0)
+    np.testing.assert_allclose(np.asarray(zero.alpha(t)), np.asarray(base.alpha(t)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(zero.beta(t)), np.asarray(base.beta(t)), rtol=1e-5)
+
+    c = -2.0 * np.log(4.0)  # the 256x256 stretch shift
+    sh = VPSDE(0.1, 30.0, logsnr_shift=c)
+    a, s = sh.alpha(t), sh.sigma(t)
+    # still a valid VP schedule
+    np.testing.assert_allclose(np.asarray(a**2 + s**2), 1.0, atol=1e-5)
+    assert float(sh.alpha(jnp.array(0.0))) == pytest.approx(1.0)
+    assert float(sh.sigma(jnp.array(1.0))) == pytest.approx(1.0, abs=1e-3)
+    # log-SNR shifted by exactly c
+    lam = lambda m: np.log(np.asarray(m.alpha(t)) ** 2 / np.asarray(m.sigma(t)) ** 2)
+    np.testing.assert_allclose(lam(sh) - lam(base), c, atol=1e-3)
+    # beta is consistent with the marginal: beta = -d/dt log alpha^2
+    tf = np.linspace(0.05, 0.95, 91)
+    h = 1e-3
+    la = lambda tt: np.log(np.asarray(sh.alpha(jnp.asarray(tt))) ** 2)
+    beta_fd = -(la(tf + h) - la(tf - h)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(sh.beta(jnp.asarray(tf))), beta_fd, rtol=1e-3)
+
+
 def test_schedule_constants():
     """Linear DDPM schedule laws (diffusion_prior.py:178-189)."""
     sched = DiffusionSchedule.linear(100, 1e-4, 0.05)

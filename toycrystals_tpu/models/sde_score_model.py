@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from toycrystals_tpu.ops.attention import SelfAttention2d, gn_groups
-from toycrystals_tpu.ops.pad import circular_pad
+from toycrystals_tpu.ops.conv import CircularConv
 
 
 def timestep_embedding_continuous(t: jax.Array, dim: int) -> jax.Array:
@@ -87,14 +87,15 @@ class _ConvBlock(nn.Module):
 
     out_ch: int
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "pad"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         g = gn_groups(self.out_ch)
         for i in range(2):
-            x = nn.Conv(
-                self.out_ch, (3, 3), padding="VALID", dtype=self.dtype, name=f"conv{i}"
-            )(circular_pad(x, 1))
+            x = CircularConv(
+                self.out_ch, (3, 3), dtype=self.dtype, impl=self.conv_impl, name=f"conv{i}"
+            )(x)
             x = nn.GroupNorm(num_groups=g, dtype=self.dtype, name=f"gn{i}")(x)
             x = nn.silu(x)
         return x
@@ -118,6 +119,7 @@ class CondUNetTiny(nn.Module):
     cond_ch: int = 8
     time_ch: int = 8
     dtype: jnp.dtype = jnp.float32
+    conv_impl: str = "pad"  # see ops/conv.py: "pad" | "border" (measured slower on TPU)
 
     @nn.compact
     def __call__(self, x_t: jax.Array, t: jax.Array, y_cat: jax.Array, y_cont: jax.Array):
@@ -138,54 +140,76 @@ class CondUNetTiny(nn.Module):
         maps = jnp.broadcast_to(maps, (b, h, w, self.time_ch + self.cond_ch))
         x = jnp.concatenate([x_t.astype(dt), maps], axis=-1)
 
+        ci = self.conv_impl
+
         def ds(x, ch, name):  # circular k4 s2 downsample (`sde_score_model.py:208,210`)
-            return nn.Conv(ch, (4, 4), strides=(2, 2), padding="VALID", dtype=dt, name=name)(
-                circular_pad(x, 1)
-            )
+            return CircularConv(ch, (4, 4), strides=(2, 2), dtype=dt, impl=ci, name=name)(x)
 
         def us_conv(x, ch, name):  # bilinear x2 + circular k3 conv (`:217-222`)
-            return nn.Conv(ch, (3, 3), padding="VALID", dtype=dt, name=name)(
-                circular_pad(_bilinear_up2(x), 1)
-            )
+            return CircularConv(ch, (3, 3), dtype=dt, impl=ci, name=name)(_bilinear_up2(x))
 
-        h1 = _ConvBlock(bc, dtype=dt, name="down1")(x)          # [B, H, W, bc]
+        h1 = _ConvBlock(bc, dtype=dt, conv_impl=ci, name="down1")(x)   # [B, H, W, bc]
         hh = ds(h1, bc, "ds1")                                   # [B, H/2, W/2, bc]
-        h2 = _ConvBlock(bc * 2, dtype=dt, name="down2")(hh)      # [B, H/2, W/2, 2bc]
+        h2 = _ConvBlock(bc * 2, dtype=dt, conv_impl=ci, name="down2")(hh)  # [B, H/2, W/2, 2bc]
         hh = ds(h2, bc * 2, "ds2")                               # [B, H/4, W/4, 2bc]
 
-        hh = _ConvBlock(bc * 2, dtype=dt, name="mid")(hh)
+        hh = _ConvBlock(bc * 2, dtype=dt, conv_impl=ci, name="mid")(hh)
         hh = SelfAttention2d(num_heads=4, dtype=dt, name="attn")(hh)
 
         hh = us_conv(hh, bc * 2, "us2_conv")
-        hh = _ConvBlock(bc, dtype=dt, name="up2")(jnp.concatenate([hh, h2], axis=-1))
+        hh = _ConvBlock(bc, dtype=dt, conv_impl=ci, name="up2")(jnp.concatenate([hh, h2], axis=-1))
 
         hh = us_conv(hh, bc, "us1_conv")
-        hh = _ConvBlock(bc, dtype=dt, name="up1")(jnp.concatenate([hh, h1], axis=-1))
+        hh = _ConvBlock(bc, dtype=dt, conv_impl=ci, name="up1")(jnp.concatenate([hh, h1], axis=-1))
 
-        out = nn.Conv(1, (3, 3), padding="VALID", dtype=dt, name="out")(circular_pad(hh, 1))
+        out = CircularConv(1, (3, 3), dtype=dt, impl=ci, name="out")(hh)
         return out.astype(jnp.float32)
 
 
 @flax.struct.dataclass
 class VPSDE:
     """VP SDE dx = -0.5 beta(t) x dt + sqrt(beta(t)) dW, linear beta on [0,1]
-    (`sde_score_model.py:273-298`). Marginal x_t = alpha(t) x0 + sigma(t) eps."""
+    (`sde_score_model.py:273-298`). Marginal x_t = alpha(t) x0 + sigma(t) eps.
+
+    `logsnr_shift` shifts the log-SNR profile: lam'(t) = lam(t) + shift where
+    lam = log(alpha^2/sigma^2). The shifted schedule is itself a valid VP SDE
+    (alpha'(0)=1, alpha'(1)~0) with
+
+        D(t)     = e^{-I(t)} e^shift + (1 - e^{-I(t)}),   I = int_beta
+        alpha'^2 = e^{-I} e^shift / D,  sigma'^2 = (1 - e^{-I}) / D,
+        beta'(t) = -d/dt log alpha'^2 = beta(t) / D(t),
+
+    so every consumer (loss, drift, diffusion coefficient) flows through the
+    same alpha/sigma/beta accessors. shift=0 reduces exactly to the base
+    schedule. Use shift = 2*ln(base_res/new_res) to train at a higher
+    resolution with the noise-to-structure behaviour of the base resolution
+    (the reference's beta in [0.1, 30] is tuned for 64x64; at 256x256 the
+    unshifted schedule under-trains global structure — benchmarks/NOTES.md)."""
 
     beta_min: float = 0.1
     beta_max: float = 20.0
+    logsnr_shift: float = 0.0
 
-    def beta(self, t):
+    def _base_beta(self, t):
         return self.beta_min + t * (self.beta_max - self.beta_min)
 
     def int_beta(self, t):
         return self.beta_min * t + 0.5 * (self.beta_max - self.beta_min) * t**2
 
+    def _d(self, t):
+        neg_i = -self.int_beta(t)
+        # -expm1(-I) = 1 - e^{-I}, stable for small I (t -> 0)
+        return jnp.exp(neg_i + self.logsnr_shift) - jnp.expm1(neg_i)
+
+    def beta(self, t):
+        return self._base_beta(t) / self._d(t)
+
     def alpha(self, t):
-        return jnp.exp(-0.5 * self.int_beta(t))
+        return jnp.sqrt(jnp.exp(-self.int_beta(t) + self.logsnr_shift) / self._d(t))
 
     def sigma(self, t):
-        a = self.alpha(t)
-        return jnp.sqrt(jnp.clip(1.0 - a * a, min=1e-8))
+        s2 = -jnp.expm1(-self.int_beta(t)) / self._d(t)
+        return jnp.sqrt(jnp.clip(s2, min=1e-8))
 
 
 # ---------------------------------------------------------------------------
