@@ -65,10 +65,10 @@ def main() -> int:
                    help="batch for the sharded stretch run (v5e-8 config)")
     p.add_argument("--only", type=str, default="",
                    help="comma list of sections to run (default all): "
-                        "sde,ode,vae,sde_train,datagen,ddim")
+                        "sde,ode,dpm,vae,sde_train,datagen,ddim")
     args = p.parse_args()
     only = {s for s in args.only.split(",") if s}
-    sections = {"sde", "ode", "vae", "sde_train", "datagen", "ddim"}
+    sections = {"sde", "ode", "dpm", "vae", "sde_train", "datagen", "ddim"}
     if unknown := only - sections:
         p.error(f"unknown --only section(s) {sorted(unknown)}; choose from {sorted(sections)}")
 
@@ -89,6 +89,7 @@ def main() -> int:
         DiffusionPriorFiLM,
         DiffusionSchedule,
         VPSDE,
+        sample_dpmpp_2m,
         sample_probability_flow_ode,
         sample_reverse_sde_euler_maruyama,
     )
@@ -107,7 +108,7 @@ def main() -> int:
     # --- SDE / ODE sampling (bf16 compute) ---
     b = args.sample_batch
     sde = VPSDE(0.1, 30.0)
-    if want("sde") or want("ode") or args.stretch:
+    if want("sde") or want("ode") or want("dpm") or args.stretch:
         unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
                             dtype=jnp.bfloat16)
         uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
@@ -128,6 +129,15 @@ def main() -> int:
             n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
         results["ode_sampling"] = {"images_per_sec": round(b / dt, 2),
                                    "batch": b, "steps": args.steps, "cfg": 1.5}
+
+    if want("dpm"):
+        # DPM-Solver++(2M), 50 steps: the fast-sampler path (new TPU scope;
+        # the reference's committed grids use 300-step EM above).
+        dt = timeit(lambda k: sample_dpmpp_2m(
+            uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+            n_steps=50, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+        results["dpm_sampling"] = {"images_per_sec": round(b / dt, 2),
+                                   "batch": b, "steps": 50, "cfg": 1.5}
 
     # --- VAE train step ---
     tb = args.train_batch

@@ -42,7 +42,11 @@ def main() -> int:
     p.add_argument("--n", type=int, default=36)
     p.add_argument("--use-ema", type=int, default=0, choices=[0, 1],
                    help="If checkpoint has EMA weights, sample using them.")
-    p.add_argument("--sampler", type=str, default="ode", choices=["ode", "sde"])
+    p.add_argument("--sampler", type=str, default="ode", choices=["ode", "sde", "dpm"],
+                   help="ode = prob-flow Heun, sde = reverse-SDE Euler-Maruyama "
+                        "(the reference's two samplers); dpm = DPM-Solver++(2M), "
+                        "a 2nd-order multistep ODE solver that needs far fewer "
+                        "steps (new TPU scope; try --steps 30-50).")
     p.add_argument("--seed", type=int, default=0)
 
     # fallback model config (only used if checkpoint has no config)
@@ -71,6 +75,7 @@ def main() -> int:
     from toycrystals_tpu.models import (
         CondUNetTiny,
         VPSDE,
+        sample_dpmpp_2m,
         sample_probability_flow_ode,
         sample_reverse_sde_euler_maruyama,
     )
@@ -126,10 +131,11 @@ def main() -> int:
     y_cat, y_cont = sample_grid_conditions(
         args.n, int(cfg["n_types"]), int(cfg["y_cont_dim"]), args.theta_max
     )
-    sampler_fn = (
-        sample_probability_flow_ode if args.sampler == "ode"
-        else sample_reverse_sde_euler_maruyama
-    )
+    sampler_fn = {
+        "ode": sample_probability_flow_ode,
+        "sde": sample_reverse_sde_euler_maruyama,
+        "dpm": sample_dpmpp_2m,
+    }[args.sampler]
     img_size = int(cfg.get("img_size", 64))
     x = sampler_fn(
         apply_fn, params, sde, y_cat, y_cont, (args.n, img_size, img_size, 1),

@@ -12,6 +12,7 @@ from toycrystals_tpu.models.sde_score_model import (
     timestep_embedding_continuous,
     diffusion_loss_eps,
     predict_eps_cfg,
+    sample_dpmpp_2m,
     sample_probability_flow_ode,
     sample_reverse_sde_euler_maruyama,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "timestep_embedding_continuous",
     "diffusion_loss_eps",
     "predict_eps_cfg",
+    "sample_dpmpp_2m",
     "sample_probability_flow_ode",
     "sample_reverse_sde_euler_maruyama",
 ]
