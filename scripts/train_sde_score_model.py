@@ -111,6 +111,12 @@ def main() -> int:
                         "end; 0 = end only). The reference saves every epoch; "
                         "on a tunneled TPU each save pulls the full state to "
                         "the host.")
+    p.add_argument("--save-best", type=int, default=0, choices=[0, 1],
+                   help="Also write sde_score_model_best.msgpack whenever the "
+                        "epoch loss improves. The reference's sampler resolves "
+                        "a 'best' checkpoint name but its trainer never writes "
+                        "one (sample_sde_score_model.py:23-27) — this closes "
+                        "that gap, off by default for parity.")
 
     args = p.parse_args()
     select_device(args.device)
@@ -304,6 +310,12 @@ def main() -> int:
                 "epoch_next": epoch + 1, "state": state,
                 "loss_hist": loss_hist, "config": config,
             })
+        if args.save_best and avg <= min(loss_hist):
+            save_checkpoint(
+                os.path.join(ckpt_dir, "sde_score_model_best.msgpack"),
+                {"epoch_next": epoch + 1, "state": state,
+                 "loss_hist": loss_hist, "config": config},
+            )
         append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
 
         if ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1):

@@ -88,10 +88,13 @@ def test_05_train_sde_and_sample(workdir):
         "train_sde_score_model.py", "--procedural", "--n-samples", "128",
         "--epochs", "2", "--batch-size", "32", "--base-ch", "8",
         "--emb-dim", "16", "--ema-decay", "0.999", "--sample-steps", "3",
-        "--out-dir", "runs/t", cwd=workdir,
+        "--save-best", "1", "--out-dir", "runs/t", cwd=workdir,
     )
     ckpt = workdir / "runs/t/checkpoints/sde_score_model_last.msgpack"
     assert ckpt.exists()
+    # --save-best writes the 'best' checkpoint the reference's sampler
+    # resolves but its trainer never produces
+    assert (workdir / "runs/t/checkpoints/sde_score_model_best.msgpack").exists()
     metrics = (workdir / "runs/t/metrics.jsonl").read_text().strip().splitlines()
     assert len(metrics) == 2
     rec = json.loads(metrics[-1])
@@ -110,12 +113,16 @@ def test_05_train_sde_and_sample(workdir):
     metrics = (workdir / "runs/t/metrics.jsonl").read_text().strip().splitlines()
     assert json.loads(metrics[-1])["epoch"] == 3
 
-    # standalone sampler: both samplers, EMA on/off
-    for sampler in ("ode", "sde"):
+    # standalone sampler: all three samplers (incl. the DPM fast path), EMA on
+    for sampler in ("ode", "sde", "dpm"):
         run(
             "sample_sde_score_model.py", "--out-dir", "runs/t", "--ckpt", "last",
             "--steps", "3", "--cfg", "1.5", "--sampler", sampler, "--use-ema", "1",
             "--n", "4", cwd=workdir,
         )
+    run(
+        "sample_sde_score_model.py", "--out-dir", "runs/t", "--ckpt", "best",
+        "--steps", "3", "--sampler", "ode", "--n", "4", cwd=workdir,
+    )
     results = list((workdir / "runs/t/results").glob("samples_ckpt-*"))
-    assert len(results) == 2
+    assert len(results) == 4
