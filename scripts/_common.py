@@ -39,6 +39,40 @@ def select_device(device: str) -> str:
     return device
 
 
+def add_shard_flag(p) -> None:
+    """--shard N: GSPMD data parallelism over the first N devices."""
+    p.add_argument(
+        "--shard", type=int, default=0,
+        help="Shard the batch over the first N devices (1-D 'data' mesh; "
+             "params replicated, gradient all-reduce over ICI inserted by "
+             "GSPMD). 0/1 = single device. Requires the batch size to "
+             "divide by N. The reference has no distributed story "
+             "(SURVEY.md §2 parallelism audit) — this is new TPU scope.",
+    )
+
+
+def setup_mesh(shard: int, *batch_sizes: int):
+    """Resolve --shard into a Mesh (or None for single-device).
+
+    Validates device availability and that every batch size divides over
+    the mesh so each device gets equal shards.
+    """
+    if shard in (0, 1):
+        return None
+    if shard < 0:
+        raise SystemExit(f"--shard must be >= 0, got {shard}")
+    n_dev = len(jax.devices())
+    if shard > n_dev:
+        raise SystemExit(f"--shard {shard} but only {n_dev} devices visible")
+    for b in batch_sizes:
+        if b % shard:
+            raise SystemExit(f"batch size {b} not divisible by --shard {shard}")
+    from toycrystals_tpu.parallel import make_mesh
+
+    print(f"data-parallel mesh: {shard} devices")
+    return make_mesh(shard)
+
+
 class ResidentDiskDataset:
     """Disk archive resident in device memory: u8 images + labels.
 

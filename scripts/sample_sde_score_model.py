@@ -15,7 +15,7 @@ import argparse
 import math
 import os
 
-from _common import select_device  # noqa: E402
+from _common import add_shard_flag, select_device, setup_mesh  # noqa: E402
 
 
 def _infer_ckpt_path(out_dir: str, ckpt: str) -> str:
@@ -48,6 +48,7 @@ def main() -> int:
                         "a 2nd-order multistep ODE solver that needs far fewer "
                         "steps (new TPU scope; try --steps 30-50).")
     p.add_argument("--seed", type=int, default=0)
+    add_shard_flag(p)
 
     # fallback model config (only used if checkpoint has no config)
     p.add_argument("--n-types", type=int, default=4)
@@ -131,6 +132,16 @@ def main() -> int:
     y_cat, y_cont = sample_grid_conditions(
         args.n, int(cfg["n_types"]), int(cfg["y_cont_dim"]), args.theta_max
     )
+    mesh = setup_mesh(args.shard, args.n)
+    if mesh is not None:
+        # batch-sharded sampling: conditions split over the mesh, params
+        # replicated; GSPMD shards the whole compiled denoising scan with
+        # zero cross-chip traffic until the host gather (SURVEY.md §5)
+        from toycrystals_tpu.parallel import data_sharding, replicate
+
+        params = replicate(mesh, params)
+        y_cat = jax.device_put(y_cat, data_sharding(mesh, 1))
+        y_cont = jax.device_put(y_cont, data_sharding(mesh, 2))
     sampler_fn = {
         "ode": sample_probability_flow_ode,
         "sde": sample_reverse_sde_euler_maruyama,

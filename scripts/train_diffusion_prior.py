@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-from _common import ResidentDiskDataset, select_device  # noqa: E402
+from _common import ResidentDiskDataset, add_shard_flag, select_device, setup_mesh  # noqa: E402
 
 
 def main() -> int:
@@ -61,6 +61,7 @@ def main() -> int:
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="Save the prior checkpoint every N epochs (always at "
                         "the end; 0 = end only).")
+    add_shard_flag(p)
     p.add_argument("--sample-every", type=int, default=1,
                    help="epochs between sample grids (reference samples every epoch)")
     args = p.parse_args()
@@ -191,9 +192,17 @@ def main() -> int:
         print("sample-only: saved results/diffusion_samples.png")
         return 0
 
+    mesh = setup_mesh(args.shard, args.batch_size)
+    if mesh is not None:
+        from toycrystals_tpu.parallel import replicate
+
+        # replicate the latent cache (closed over by the epoch program) and
+        # the train state; GSPMD shards the per-step batches via the mesh
+        z0_norm, y_cat, y_cont = replicate(mesh, (z0_norm, y_cat, y_cont))
+        state = replicate(mesh, state)
     if args.fused_epoch:
         epoch_fn = make_prior_train_epoch(
-            prior, tx, args.T, args.batch_size, (z0_norm, y_cat, y_cont)
+            prior, tx, args.T, args.batch_size, (z0_norm, y_cat, y_cont), mesh=mesh
         )
     else:
         step = make_prior_train_step(prior, tx, T=args.T)
@@ -214,7 +223,12 @@ def main() -> int:
             for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
                 bidx = jnp.asarray(bidx)
                 sub, k_step = jax.random.split(sub)
-                state, m = step(state, sched, z0_norm[bidx], y_cat[bidx], y_cont[bidx], k_step)
+                batch = (z0_norm[bidx], y_cat[bidx], y_cont[bidx])
+                if mesh is not None:
+                    from toycrystals_tpu.parallel import shard_batch
+
+                    batch = shard_batch(mesh, batch)
+                state, m = step(state, sched, *batch, k_step)
                 metrics.append(m)
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)
             avg = float(jnp.mean(stacked["loss"]))

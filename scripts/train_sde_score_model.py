@@ -22,7 +22,7 @@ from datetime import datetime
 
 import numpy as np
 
-from _common import ResidentDiskDataset, select_device  # noqa: E402
+from _common import ResidentDiskDataset, add_shard_flag, select_device, setup_mesh  # noqa: E402
 
 
 def _make_run_name(args) -> str:
@@ -111,6 +111,7 @@ def main() -> int:
                         "end; 0 = end only). The reference saves every epoch; "
                         "on a tunneled TPU each save pulls the full state to "
                         "the host.")
+    add_shard_flag(p)
     p.add_argument("--save-best", type=int, default=0, choices=[0, 1],
                    help="Also write sde_score_model_best.msgpack whenever the "
                         "epoch loss improves. The reference's sampler resolves "
@@ -172,6 +173,8 @@ def main() -> int:
     if args.img_size is None:
         args.img_size = int((resume_raw or {}).get("config", {}).get("img_size") or 64)
 
+    mesh = setup_mesh(args.shard, args.batch_size)
+
     # --- data ---
     img_size = args.img_size
     procedural = args.procedural or not args.data_path
@@ -183,6 +186,14 @@ def main() -> int:
             return generate_batch(cfg, args.seed, jnp.asarray(idx))
     else:
         ds = ResidentDiskDataset(args.data_path)
+        if mesh is not None:
+            from toycrystals_tpu.parallel import replicate
+
+            # the HBM-resident archive is closed over by the compiled epoch;
+            # replicate it so every device gathers its shard locally
+            ds.x_u8, ds.y_cat, ds.y_cont = replicate(
+                mesh, (ds.x_u8, ds.y_cat, ds.y_cont)
+            )
         n_items = len(ds)
         img_size = int(ds.x_u8.shape[1])
         get_batch = ds.gather
@@ -221,11 +232,17 @@ def main() -> int:
             lattice_cfg=cfg if procedural else None,
             dataset_seed=args.seed,
             resident=None if procedural else (ds.x_u8, ds.y_cat, ds.y_cont),
+            mesh=mesh,
         )
     else:
         step = make_sde_train_step(
             model, tx, sde, args.n_types, args.p_uncond, args.t_power, args.ema_decay
         )
+        if mesh is not None:
+            from toycrystals_tpu.parallel import shard_batch
+
+            _get_batch = get_batch
+            get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))
 
     # Self-describing config embedded in the ckpt (`train_sde_score_model.py:179-192`).
     config = {
@@ -251,6 +268,11 @@ def main() -> int:
         truncate_jsonl(metrics_path, "epoch", start_epoch)
         if start_epoch > 0:
             print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
+
+    if mesh is not None:
+        from toycrystals_tpu.parallel import replicate
+
+        state = replicate(mesh, state)
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
 

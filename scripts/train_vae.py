@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-from _common import ResidentDiskDataset, select_device  # noqa: E402
+from _common import ResidentDiskDataset, add_shard_flag, select_device, setup_mesh  # noqa: E402
 
 
 def main() -> int:
@@ -48,6 +48,7 @@ def main() -> int:
                         "all steps) as ONE program.")
     p.add_argument("--free-bits", type=float, default=0.05,
                    help="Free bits threshold in nats per latent dim (0 disables).")
+    add_shard_flag(p)
     p.set_defaults(uncond=False)
     args = p.parse_args()
     select_device(args.device)
@@ -74,6 +75,7 @@ def main() -> int:
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
+    mesh = setup_mesh(args.shard, args.batch_size)
 
     # --- data source ---
     procedural = args.procedural or not args.data_path
@@ -88,6 +90,12 @@ def main() -> int:
             return generate_batch(cfg, args.seed, jnp.asarray(idx))
     else:
         ds = ResidentDiskDataset(args.data_path)
+        if mesh is not None:
+            from toycrystals_tpu.parallel import replicate
+
+            ds.x_u8, ds.y_cat, ds.y_cont = replicate(
+                mesh, (ds.x_u8, ds.y_cat, ds.y_cont)
+            )
         n_items = len(ds)
         get_batch = ds.gather
 
@@ -107,14 +115,28 @@ def main() -> int:
     params = model.init({"params": key, "reparam": key}, *init_args)["params"]
     tx = optax.adam(args.lr)
     state = create_train_state(params, tx)
+    if mesh is not None:
+        from toycrystals_tpu.parallel import replicate
+
+        state = replicate(mesh, state)
     if args.fused_epoch:
         epoch_fn = make_vae_train_epoch(
             model, tx, args.free_bits, args.batch_size, n_items, uncond=args.uncond,
             lattice_cfg=cfg if procedural else None, dataset_seed=args.seed,
             resident=None if procedural else (ds.x_u8, ds.y_cat, ds.y_cont),
+            mesh=mesh,
         )
     else:
         step = make_vae_train_step(model, tx, free_bits=args.free_bits, uncond=args.uncond)
+
+    if mesh is not None:
+        from toycrystals_tpu.parallel import shard_batch
+
+        # training batches only — diagnostics (recon/MoP grids) use other
+        # batch sizes that need not divide over the mesh
+        get_train_batch = lambda idx: shard_batch(mesh, get_batch(idx))
+    else:
+        get_train_batch = get_batch
 
     config = {
         "z_dim": args.z_dim, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
@@ -135,7 +157,7 @@ def main() -> int:
         else:
             batch_metrics = []  # device arrays; one host sync per epoch, not per step
             for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-                x, y_cat, y_cont = get_batch(bidx)
+                x, y_cat, y_cont = get_train_batch(bidx)
                 sub, k_step = jax.random.split(sub)
                 state, m = step(state, x, y_cat, y_cont, jnp.float32(beta_eff), k_step)
                 batch_metrics.append(m)

@@ -79,6 +79,67 @@ def test_sharded_sampling_batch():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_fused_epoch_sharded_matches_unsharded():
+    """make_sde_train_epoch(mesh=...) — the whole-epoch program (on-device
+    shuffle + datagen + every step) distributes over the mesh with numerics
+    identical to single-device (GSPMD is semantics-preserving)."""
+    from toycrystals_tpu.train import make_sde_train_epoch
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    cfg = LatticeConfig(img_size=16, rot_only=True)
+    x0, ycat, ycont = generate_batch(cfg, seed=0, idx=jnp.arange(2))
+    params = model.init(K, x0, jnp.zeros((2,)), ycat, ycont)["params"]
+    tx = optax.sgd(1e-2)  # linear in grads; see note in the step test above
+    sde = VPSDE(0.1, 30.0)
+    common = dict(n_types=4, p_uncond=0.0, t_power=1.0, ema_decay=0.0,
+                  batch_size=16, n_items=32, lattice_cfg=cfg, dataset_seed=0)
+
+    e1 = make_sde_train_epoch(model, tx, sde, **common)
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    s1, loss1 = e1(s1, K)
+
+    mesh = make_mesh()
+    e2 = make_sde_train_epoch(model, tx, sde, **common, mesh=mesh)
+    s2 = replicate(mesh, create_train_state(jax.tree.map(jnp.copy, params), tx))
+    s2, loss2 = e2(s2, K)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    l1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    l2 = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
+
+
+def test_cli_shard_flag(tmp_path, monkeypatch):
+    """--shard 4 on the SDE trainer + sampler runs end-to-end on the virtual
+    mesh (runpy in-process: subprocesses can't force a multi-device CPU
+    backend because the platform plugin eats XLA_FLAGS)."""
+    import runpy
+    import sys
+    from pathlib import Path
+
+    monkeypatch.chdir(tmp_path)
+    scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+    monkeypatch.syspath_prepend(scripts)  # scripts import `_common` as a sibling
+
+    def run(script, *flags):
+        monkeypatch.setattr(
+            sys, "argv", [script, "--device", "cpu", *map(str, flags)]
+        )
+        try:
+            runpy.run_path(f"{scripts}/{script}", run_name="__main__")
+        except SystemExit as e:
+            assert (e.code or 0) == 0, f"{script} exited {e.code}"
+
+    run("train_sde_score_model.py", "--procedural", "--n-samples", 32,
+        "--img-size", 16, "--epochs", 1, "--batch-size", 16, "--base-ch", 8,
+        "--emb-dim", 16, "--sample-steps", 2, "--sample-every", 99,
+        "--shard", 4, "--out-dir", "runs/s")
+    assert (tmp_path / "runs/s/checkpoints/sde_score_model_last.msgpack").exists()
+    run("sample_sde_score_model.py", "--out-dir", "runs/s", "--ckpt", "last",
+        "--steps", 2, "--cfg", "1.5", "--sampler", "sde", "--n", 8, "--shard", 4)
+    assert list((tmp_path / "runs/s/results").glob("samples_ckpt-*"))
+
+
 def test_sharded_datagen():
     """On-device procedural generation shards over the batch axis."""
     cfg = LatticeConfig(rot_only=True)

@@ -3,6 +3,7 @@ from toycrystals_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     data_sharding,
+    constrain_batch,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding", "constrain_batch"]

@@ -50,3 +50,16 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Fully replicate a pytree (params / train state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def constrain_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Annotate a pytree of in-program values as batch-sharded (leading dim
+    over `axis`, rest replicated). Use INSIDE a jitted program — this is the
+    GSPMD hook that makes the fused-epoch scan distribute its on-device
+    datagen/gather and every train step across the mesh (scalars pass
+    through unconstrained)."""
+    return jax.tree.map(
+        lambda x: x if np.ndim(x) == 0
+        else jax.lax.with_sharding_constraint(x, data_sharding(mesh, np.ndim(x), axis)),
+        batch,
+    )

@@ -154,7 +154,7 @@ def make_sde_train_step(
     return step
 
 
-def _batch_source(lattice_cfg, dataset_seed: int, resident: tuple | None):
+def _batch_source(lattice_cfg, dataset_seed: int, resident: tuple | None, mesh=None):
     """Resolve a fused-epoch data source to get_batch(idx) -> (x, y_cat, y_cont).
 
     Exactly one of:
@@ -163,15 +163,26 @@ def _batch_source(lattice_cfg, dataset_seed: int, resident: tuple | None):
       resident — (x_u8 [N,H,W,1] u8, y_cat [N] i32, y_cont [N,4] f32) device
         arrays: the disk archive, gathered (and u8 -> f32/255 decoded) on
         device per step (same decode as ResidentDiskDataset.gather).
+
+    With a `mesh`, every batch is sharding-constrained over the 'data' axis
+    inside the compiled program, so GSPMD distributes the per-step
+    datagen/gather AND the train step (grad all-reduce over ICI) across the
+    mesh — numerics identical to single-device.
     """
     if (lattice_cfg is None) == (resident is None):
         raise ValueError("pass exactly one of lattice_cfg / resident")
     if lattice_cfg is not None:
         from toycrystals_tpu.data.datasets import generate_batch
 
-        return lambda idx: generate_batch(lattice_cfg, dataset_seed, idx)
-    x_u8, y_cat, y_cont = resident
-    return lambda idx: (x_u8[idx].astype(jnp.float32) / 255.0, y_cat[idx], y_cont[idx])
+        src = lambda idx: generate_batch(lattice_cfg, dataset_seed, idx)
+    else:
+        x_u8, y_cat, y_cont = resident
+        src = lambda idx: (x_u8[idx].astype(jnp.float32) / 255.0, y_cat[idx], y_cont[idx])
+    if mesh is None:
+        return src
+    from toycrystals_tpu.parallel import constrain_batch
+
+    return lambda idx: constrain_batch(mesh, src(idx))
 
 
 def _make_epoch(run_batch: Callable, n_items: int, batch_size: int, aggregate: Callable):
@@ -215,16 +226,18 @@ def make_vae_train_epoch(
     lattice_cfg=None,
     dataset_seed: int = 0,
     resident: tuple | None = None,
+    mesh=None,
 ) -> Callable:
     """A whole VAE training epoch as one compiled program (the reference
     dispatches per batch, `train_vae.py:292-321`). Data-source contract:
-    see `_batch_source`. beta_eff is a traced scalar so the per-epoch KL
-    warm-up (`train_vae.py:311`) does not recompile.
+    see `_batch_source` (incl. `mesh` for data-parallel sharding). beta_eff
+    is a traced scalar so the per-epoch KL warm-up (`train_vae.py:311`) does
+    not recompile.
 
     Returns epoch_fn(state, beta_eff, key) -> (state, mean metrics dict).
     """
     step_fn = make_vae_train_step(model, tx, free_bits, uncond=uncond)
-    get_batch = _batch_source(lattice_cfg, dataset_seed, resident)
+    get_batch = _batch_source(lattice_cfg, dataset_seed, resident, mesh=mesh)
 
     def run_batch(state, idx, key, beta_eff):
         x, y_cat, y_cont = get_batch(idx)
@@ -241,13 +254,15 @@ def make_prior_train_epoch(
     T: int,
     batch_size: int,
     latents: tuple,
+    mesh=None,
 ) -> Callable:
     """A whole latent-prior training epoch as one compiled program (the
     reference dispatches per batch, `train_diffusion_prior.py:240-277`).
 
     latents = (z0_norm [N,z] f32, y_cat [N] i32, y_cont [N,4] f32) device
     arrays (the standardised latent cache). The 4-bucket diagnostics are
-    aggregated across the epoch on device.
+    aggregated across the epoch on device. With a `mesh`, the per-step
+    gathered batch is sharding-constrained over 'data' (see `_batch_source`).
 
     Returns epoch_fn(state, sched, key) -> (state, {loss, bucket_sum, bucket_n}).
     """
@@ -255,7 +270,12 @@ def make_prior_train_epoch(
     step_fn = make_prior_train_step(model, tx, T)
 
     def run_batch(state, idx, key, sched):
-        return step_fn(state, sched, z0n[idx], y_cat_all[idx], y_cont_all[idx], key)
+        batch = (z0n[idx], y_cat_all[idx], y_cont_all[idx])
+        if mesh is not None:
+            from toycrystals_tpu.parallel import constrain_batch
+
+            batch = constrain_batch(mesh, batch)
+        return step_fn(state, sched, *batch, key)
 
     epoch = _make_epoch(
         run_batch, int(z0n.shape[0]), batch_size,
@@ -281,18 +301,20 @@ def make_sde_train_epoch(
     lattice_cfg=None,
     dataset_seed: int = 0,
     resident: tuple | None = None,
+    mesh=None,
 ) -> Callable:
     """A whole SDE training epoch as one compiled program (new TPU-native
     scope — the reference runs one eager step per batch from a Python loop,
     `/root/reference/scripts/train_sde_score_model.py:212-243`): shuffle,
     per-step batch materialisation, loss/grad/update/EMA, all in one scan.
-    Data-source contract: see `_batch_source`.
+    Data-source contract: see `_batch_source` (incl. `mesh` for
+    data-parallel sharding).
 
     Returns epoch_fn(state, key) -> (state, mean_loss). `key` drives both the
     shuffle and the per-step loss randomness; the state is donated.
     """
     step_fn = make_sde_train_step(model, tx, sde, n_types, p_uncond, t_power, ema_decay)
-    get_batch = _batch_source(lattice_cfg, dataset_seed, resident)
+    get_batch = _batch_source(lattice_cfg, dataset_seed, resident, mesh=mesh)
 
     def run_batch(state, idx, key):
         x0, y_cat, y_cont = get_batch(idx)
