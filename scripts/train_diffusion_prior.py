@@ -86,6 +86,10 @@ def main() -> int:
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
+    mesh = setup_mesh(args.shard, args.batch_size)
+    if mesh is not None and args.sample_only:
+        print("note: --shard only parallelises training; --sample-only runs "
+              "on one device")
 
     os.makedirs("results", exist_ok=True)
     os.makedirs("checkpoints", exist_ok=True)
@@ -192,15 +196,13 @@ def main() -> int:
         print("sample-only: saved results/diffusion_samples.png")
         return 0
 
-    mesh = setup_mesh(args.shard, args.batch_size)
-    if mesh is not None:
-        from toycrystals_tpu.parallel import replicate
+    from toycrystals_tpu.parallel import replicate, shard_batch
 
-        # replicate the latent cache (closed over by the epoch program) and
-        # the train state; GSPMD shards the per-step batches via the mesh
-        z0_norm, y_cat, y_cont = replicate(mesh, (z0_norm, y_cat, y_cont))
-        state = replicate(mesh, state)
+    state = replicate(mesh, state)
     if args.fused_epoch:
+        # replicate the latent cache (closed over by the epoch program);
+        # GSPMD shards the per-step gathered batches via the mesh
+        z0_norm, y_cat, y_cont = replicate(mesh, (z0_norm, y_cat, y_cont))
         epoch_fn = make_prior_train_epoch(
             prior, tx, args.T, args.batch_size, (z0_norm, y_cat, y_cont), mesh=mesh
         )
@@ -223,11 +225,7 @@ def main() -> int:
             for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
                 bidx = jnp.asarray(bidx)
                 sub, k_step = jax.random.split(sub)
-                batch = (z0_norm[bidx], y_cat[bidx], y_cont[bidx])
-                if mesh is not None:
-                    from toycrystals_tpu.parallel import shard_batch
-
-                    batch = shard_batch(mesh, batch)
+                batch = shard_batch(mesh, (z0_norm[bidx], y_cat[bidx], y_cont[bidx]))
                 state, m = step(state, sched, *batch, k_step)
                 metrics.append(m)
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)

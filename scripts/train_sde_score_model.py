@@ -127,6 +127,7 @@ def main() -> int:
     import optax
 
     from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
+    from toycrystals_tpu.parallel import replicate, shard_batch
     from toycrystals_tpu.models import (
         CondUNetTiny,
         VPSDE,
@@ -186,11 +187,10 @@ def main() -> int:
             return generate_batch(cfg, args.seed, jnp.asarray(idx))
     else:
         ds = ResidentDiskDataset(args.data_path)
-        if mesh is not None:
-            from toycrystals_tpu.parallel import replicate
-
-            # the HBM-resident archive is closed over by the compiled epoch;
-            # replicate it so every device gathers its shard locally
+        if args.fused_epoch:
+            # the HBM-resident archive is closed over by the compiled epoch
+            # program; replicate it so every device gathers its shard locally
+            # (the per-batch path shards each gathered batch instead)
             ds.x_u8, ds.y_cat, ds.y_cont = replicate(
                 mesh, (ds.x_u8, ds.y_cat, ds.y_cont)
             )
@@ -238,11 +238,8 @@ def main() -> int:
         step = make_sde_train_step(
             model, tx, sde, args.n_types, args.p_uncond, args.t_power, args.ema_decay
         )
-        if mesh is not None:
-            from toycrystals_tpu.parallel import shard_batch
-
-            _get_batch = get_batch
-            get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))
+        _get_batch = get_batch
+        get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))
 
     # Self-describing config embedded in the ckpt (`train_sde_score_model.py:179-192`).
     config = {
@@ -269,10 +266,7 @@ def main() -> int:
         if start_epoch > 0:
             print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
 
-    if mesh is not None:
-        from toycrystals_tpu.parallel import replicate
-
-        state = replicate(mesh, state)
+    state = replicate(mesh, state)
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
 

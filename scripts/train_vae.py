@@ -58,6 +58,7 @@ def main() -> int:
     import optax
 
     from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
+    from toycrystals_tpu.parallel import replicate, shard_batch
     from toycrystals_tpu.models import CondVAE, VAE
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
     from toycrystals_tpu.train import (
@@ -90,9 +91,9 @@ def main() -> int:
             return generate_batch(cfg, args.seed, jnp.asarray(idx))
     else:
         ds = ResidentDiskDataset(args.data_path)
-        if mesh is not None:
-            from toycrystals_tpu.parallel import replicate
-
+        if args.fused_epoch:
+            # closed over by the compiled epoch program (per-batch path
+            # shards each gathered batch instead)
             ds.x_u8, ds.y_cat, ds.y_cont = replicate(
                 mesh, (ds.x_u8, ds.y_cat, ds.y_cont)
             )
@@ -114,11 +115,7 @@ def main() -> int:
         )
     params = model.init({"params": key, "reparam": key}, *init_args)["params"]
     tx = optax.adam(args.lr)
-    state = create_train_state(params, tx)
-    if mesh is not None:
-        from toycrystals_tpu.parallel import replicate
-
-        state = replicate(mesh, state)
+    state = replicate(mesh, create_train_state(params, tx))
     if args.fused_epoch:
         epoch_fn = make_vae_train_epoch(
             model, tx, args.free_bits, args.batch_size, n_items, uncond=args.uncond,
@@ -129,14 +126,9 @@ def main() -> int:
     else:
         step = make_vae_train_step(model, tx, free_bits=args.free_bits, uncond=args.uncond)
 
-    if mesh is not None:
-        from toycrystals_tpu.parallel import shard_batch
-
-        # training batches only — diagnostics (recon/MoP grids) use other
-        # batch sizes that need not divide over the mesh
-        get_train_batch = lambda idx: shard_batch(mesh, get_batch(idx))
-    else:
-        get_train_batch = get_batch
+    # training batches only — diagnostics (recon/MoP grids) use other
+    # batch sizes that need not divide over the mesh
+    get_train_batch = lambda idx: shard_batch(mesh, get_batch(idx))
 
     config = {
         "z_dim": args.z_dim, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,

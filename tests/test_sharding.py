@@ -109,6 +109,38 @@ def test_fused_epoch_sharded_matches_unsharded():
     np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
 
 
+def test_fused_epoch_resident_sharded_matches_unsharded():
+    """Same parity contract for the resident-archive branch of _batch_source:
+    u8 arrays replicated over the mesh, per-step gather + decode sharded."""
+    from toycrystals_tpu.train import make_sde_train_epoch
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    kx, kc = jax.random.split(K)
+    x_u8 = jax.random.randint(kx, (32, 16, 16, 1), 0, 256, dtype=jnp.uint8)
+    ycat = jnp.arange(32, dtype=jnp.int32) % 4
+    ycont = jax.random.uniform(kc, (32, 4))
+    x0 = x_u8[:2].astype(jnp.float32) / 255.0
+    params = model.init(K, x0, jnp.zeros((2,)), ycat[:2], ycont[:2])["params"]
+    tx = optax.sgd(1e-2)
+    sde = VPSDE(0.1, 30.0)
+    common = dict(n_types=4, p_uncond=0.0, t_power=1.0, ema_decay=0.0,
+                  batch_size=16, n_items=32)
+
+    e1 = make_sde_train_epoch(model, tx, sde, **common,
+                              resident=(x_u8, ycat, ycont))
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    s1, loss1 = e1(s1, K)
+
+    mesh = make_mesh()
+    e2 = make_sde_train_epoch(model, tx, sde, **common,
+                              resident=replicate(mesh, (x_u8, ycat, ycont)),
+                              mesh=mesh)
+    s2 = replicate(mesh, create_train_state(jax.tree.map(jnp.copy, params), tx))
+    s2, loss2 = e2(s2, K)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
 def test_cli_shard_flag(tmp_path, monkeypatch):
     """--shard 4 on the SDE trainer + sampler runs end-to-end on the virtual
     mesh (runpy in-process: subprocesses can't force a multi-device CPU
@@ -138,6 +170,18 @@ def test_cli_shard_flag(tmp_path, monkeypatch):
     run("sample_sde_score_model.py", "--out-dir", "runs/s", "--ckpt", "last",
         "--steps", 2, "--cfg", "1.5", "--sampler", "sde", "--n", 8, "--shard", 4)
     assert list((tmp_path / "runs/s/results").glob("samples_ckpt-*"))
+
+    # VAE trainer sharded (the conv VAE is architecturally 64x64), then the
+    # prior trainer sharded on top of its checkpoint — covers the latent-cache
+    # replication + mesh-constrained prior epoch.
+    run("train_vae.py", "--procedural", "--n-samples", 32, "--epochs", 1,
+        "--batch-size", 16, "--z-dim", 8, "--shard", 4)
+    assert (tmp_path / "checkpoints/vae_last.msgpack").exists()
+    run("train_diffusion_prior.py", "--procedural", "--max-items", 32,
+        "--epochs", 1, "--width", 32, "--z-dim", 8, "--T", 8,
+        "--latent-cache", "data/latents.npz", "--ddim-steps", 2,
+        "--batch-size", 16, "--shard", 4)
+    assert (tmp_path / "checkpoints/diffusion_prior_last.msgpack").exists()
 
 
 def test_sharded_datagen():

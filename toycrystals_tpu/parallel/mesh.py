@@ -39,25 +39,36 @@ def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """device_put every leaf with its leading dim sharded over the mesh."""
+def shard_batch(mesh: Mesh | None, batch: Any, axis: str = "data") -> Any:
+    """device_put every leaf with its leading dim sharded over the mesh
+    (scalars pass through). mesh=None is a passthrough, so single-device
+    call sites need no conditional."""
+    if mesh is None:
+        return batch
     return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)), batch
+        lambda x: x if np.ndim(x) == 0
+        else jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)),
+        batch,
     )
 
 
-def replicate(mesh: Mesh, tree: Any) -> Any:
-    """Fully replicate a pytree (params / train state) over the mesh."""
+def replicate(mesh: Mesh | None, tree: Any) -> Any:
+    """Fully replicate a pytree (params / train state) over the mesh.
+    mesh=None is a passthrough."""
+    if mesh is None:
+        return tree
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def constrain_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+def constrain_batch(mesh: Mesh | None, batch: Any, axis: str = "data") -> Any:
     """Annotate a pytree of in-program values as batch-sharded (leading dim
     over `axis`, rest replicated). Use INSIDE a jitted program — this is the
     GSPMD hook that makes the fused-epoch scan distribute its on-device
     datagen/gather and every train step across the mesh (scalars pass
-    through unconstrained)."""
+    through unconstrained). mesh=None is a passthrough."""
+    if mesh is None:
+        return batch
     return jax.tree.map(
         lambda x: x if np.ndim(x) == 0
         else jax.lax.with_sharding_constraint(x, data_sharding(mesh, np.ndim(x), axis)),
