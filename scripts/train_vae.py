@@ -39,6 +39,11 @@ def main() -> int:
     p.add_argument("--procedural", action="store_true",
                    help="TPU-native path: rasterize rot-only batches on device, no files")
     p.add_argument("--cond-drop", type=float, default=0.0)
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="Accepted for reference CLI parity "
+                        "(`/root/reference/scripts/train_vae.py:236`); unused "
+                        "here — batches are rendered/gathered on device, there "
+                        "is no host DataLoader to parallelise.")
     p.add_argument("--uncond", dest="uncond", action="store_true",
                    help="Train unconditional VAE.")
     p.add_argument("--cond", dest="uncond", action="store_false",
