@@ -48,6 +48,13 @@ def main() -> int:
                         "a 2nd-order multistep ODE solver that needs far fewer "
                         "steps (new TPU scope; try --steps 30-50).")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clip-x0", type=int, default=0, choices=[0, 1],
+                   help="Static x0-thresholding inside the sampler: clip the "
+                        "implied x0 to [-1,1] each step and re-derive eps. Off "
+                        "by default (reference semantics); REQUIRED for "
+                        "coherent 256x256 stretch samples — the raw "
+                        "eps-parameterization's trajectories saturate there "
+                        "(see benchmarks/NOTES.md).")
     add_shard_flag(p)
 
     # fallback model config (only used if checkpoint has no config)
@@ -152,6 +159,7 @@ def main() -> int:
         apply_fn, params, sde, y_cat, y_cont, (args.n, img_size, img_size, 1),
         jax.random.key(args.seed), n_steps=args.steps,
         guidance_scale=args.cfg, t_end=args.t_end, n_types=int(cfg["n_types"]),
+        clip_x0=bool(args.clip_x0),
     )
     side = int(math.ceil(math.sqrt(args.n)))
     save_image_grid(

@@ -89,6 +89,9 @@ def main() -> int:
     p.add_argument("--t-end", type=float, default=1e-3)
     p.add_argument("--sample-from-ema", type=int, default=1, choices=[0, 1],
                    help="If EMA enabled, save sample grids using EMA weights.")
+    p.add_argument("--clip-x0", type=int, default=0, choices=[0, 1],
+                   help="Static x0-thresholding in the in-training sample "
+                        "grids (see sample_sde_score_model.py --clip-x0).")
     p.add_argument("--dtype", type=str, default=None,
                    choices=["float32", "bfloat16"],
                    help="Computation dtype (params stay float32). bfloat16 "
@@ -279,6 +282,7 @@ def main() -> int:
             apply_fn, prm, sde, y_cat, y_cont, (36, img_size, img_size, 1),
             jax.random.key(args.seed + 1), n_steps=args.sample_steps,
             guidance_scale=args.cfg, t_end=args.t_end,
+            clip_x0=bool(args.clip_x0),
         )
         save_image_grid(
             x, out_path,

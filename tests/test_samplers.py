@@ -102,6 +102,51 @@ def test_samplers_shape_range_determinism(sampler):
     assert not np.allclose(arr, np.asarray(out3))
 
 
+@pytest.mark.parametrize(
+    "sampler",
+    [sample_probability_flow_ode, sample_reverse_sde_euler_maruyama],
+)
+def test_clip_x0_bounds_divergent_model(sampler):
+    """With an adversarial eps_hat = 0, the implied x0 = x/alpha explodes
+    (1/alpha ~ 1e3 near t=1) and the unclipped trajectory saturates; with
+    clip_x0=True every step's implied x0 is clipped to [-1,1], so the final
+    (already [0,1]-mapped) image comes from a bounded trajectory. This is the
+    256x256 failure mode in miniature (benchmarks/NOTES.md)."""
+    from toycrystals_tpu.models import sample_dpmpp_2m
+
+    zero_eps = lambda p, xt, t, yc, yv: jnp.zeros_like(xt)
+    sde = VPSDE(0.1, 30.0)
+    ycat, ycont = sample_grid_conditions(2, 4, 4)
+    x = sampler(zero_eps, {}, sde, ycat, ycont, (2, 16, 16, 1), K,
+                n_steps=8, guidance_scale=0.0, clip_x0=True)
+    assert np.isfinite(np.asarray(x)).all()
+    # the dpm solver clips its x0 form directly
+    x = sample_dpmpp_2m(zero_eps, {}, sde, ycat, ycont, (2, 16, 16, 1), K,
+                        n_steps=8, guidance_scale=0.0, clip_x0=True)
+    assert np.isfinite(np.asarray(x)).all()
+
+
+def test_clip_x0_noop_on_well_behaved_model():
+    """When the model's implied x0 stays inside [-1,1], thresholding must not
+    change the trajectory: analytic score of x0 = 0 data gives
+    eps_hat = x_t / sqrt(sigma^2 + alpha^2 * 0) -> implied x0 = 0 exactly."""
+    sde = VPSDE(0.1, 30.0)
+
+    def exact_eps(p, xt, t, yc, yv):
+        # data distribution: delta at x0=0 -> x_t = sigma * eps, eps = x_t/sigma
+        s = sde.sigma(t).reshape(-1, 1, 1, 1)
+        return xt / s
+
+    ycat, ycont = sample_grid_conditions(2, 4, 4)
+    a = sample_reverse_sde_euler_maruyama(
+        exact_eps, {}, sde, ycat, ycont, (2, 16, 16, 1), K, n_steps=12,
+        clip_x0=False)
+    b = sample_reverse_sde_euler_maruyama(
+        exact_eps, {}, sde, ycat, ycont, (2, 16, 16, 1), K, n_steps=12,
+        clip_x0=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_sampler_rejects_bad_t_end():
     apply_fn, v = _tiny_unet()
     sde = VPSDE()

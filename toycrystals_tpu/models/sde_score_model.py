@@ -327,7 +327,23 @@ def _x0_projection(apply_fn, params, sde, x, t_final, y_cat, y_cont, gs, n_types
     return jnp.clip((x0_hat + 1.0) * 0.5, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10))
+def _maybe_clip_eps(eps_hat, x, a, s, clip_x0: bool):
+    """Static x0-thresholding (Imagen-style): clip the implied
+    x0_hat = (x - s*eps_hat)/a to the data range [-1, 1] and re-derive
+    eps_hat. The eps-parameterization is ill-conditioned at large t — a is
+    ~1e-4 near t=1, so an O(0.003) eps error implies an O(20) x0 error whose
+    systematic component integrates into a runaway (measured at 256x256:
+    trajectories drift to x~-16 and saturate; with clipping they stay
+    on-manifold and form lattices). No reference counterpart — the
+    reference's 64x64 runs never leave the regime where this matters; off by
+    default for parity, REQUIRED for the 256x256 stretch (`--clip-x0 1`)."""
+    if not clip_x0:
+        return eps_hat
+    x0 = jnp.clip((x - s * eps_hat) / jnp.maximum(a, 1e-6), -1.0, 1.0)
+    return (x - a * x0) / s
+
+
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11))
 def sample_probability_flow_ode(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -340,9 +356,11 @@ def sample_probability_flow_ode(
     guidance_scale: float = 0.0,
     t_end: float = 1e-3,
     n_types: int = 4,
+    clip_x0: bool = False,
 ) -> jax.Array:
     """Probability-flow ODE with Heun (2nd order) as one lax.scan
-    (`sde_score_model.py:452-504`). img_shape is NHWC with C == 1."""
+    (`sde_score_model.py:452-504`). img_shape is NHWC with C == 1.
+    clip_x0: see `_maybe_clip_eps`."""
     t_end = _check_t_end(t_end)
     b, h, w, c = img_shape
     assert c == 1
@@ -355,7 +373,9 @@ def sample_probability_flow_ode(
         """-0.5 beta x - 0.5 beta score, score = -eps_hat / sigma (`:426-449`)."""
         beta_t = sde.beta(tb).reshape(b, 1, 1, 1)
         sigma_t = sde.sigma(tb).reshape(b, 1, 1, 1)
+        alpha_t = sde.alpha(tb).reshape(b, 1, 1, 1)
         eps_hat = predict_eps_cfg(apply_fn, params, x, tb, y_cat, y_cont, gs, n_types)
+        eps_hat = _maybe_clip_eps(eps_hat, x, alpha_t, sigma_t, clip_x0)
         score = -eps_hat / sigma_t
         return -0.5 * beta_t * x - 0.5 * beta_t * score
 
@@ -373,7 +393,7 @@ def sample_probability_flow_ode(
     return _x0_projection(apply_fn, params, sde, x, ts[-1], y_cat, y_cont, gs, n_types, b)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11))
 def sample_reverse_sde_euler_maruyama(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -386,10 +406,12 @@ def sample_reverse_sde_euler_maruyama(
     guidance_scale: float = 0.0,
     t_end: float = 1e-3,
     n_types: int = 4,
+    clip_x0: bool = False,
 ) -> jax.Array:
     """Reverse-time SDE via Euler-Maruyama as one lax.scan
     (`sde_score_model.py:507-569`): dx = [f - g^2 score] dt + g dW,
-    f = -0.5 beta x, g = sqrt(beta). Integrates t: 1 -> t_end (dt < 0)."""
+    f = -0.5 beta x, g = sqrt(beta). Integrates t: 1 -> t_end (dt < 0).
+    clip_x0: see `_maybe_clip_eps`."""
     t_end = _check_t_end(t_end)
     b, h, w, c = img_shape
     assert c == 1
@@ -406,9 +428,11 @@ def sample_reverse_sde_euler_maruyama(
 
         beta_t = sde.beta(tb).reshape(b, 1, 1, 1)
         sigma_t = sde.sigma(tb).reshape(b, 1, 1, 1)
+        alpha_t = sde.alpha(tb).reshape(b, 1, 1, 1)
         g = jnp.sqrt(beta_t)
 
         eps_hat = predict_eps_cfg(apply_fn, params, x, tb, y_cat, y_cont, gs, n_types)
+        eps_hat = _maybe_clip_eps(eps_hat, x, alpha_t, sigma_t, clip_x0)
         score = -eps_hat / sigma_t
         drift = (-0.5 * beta_t * x) - (beta_t * score)
 
@@ -421,7 +445,7 @@ def sample_reverse_sde_euler_maruyama(
     return _x0_projection(apply_fn, params, sde, x, ts[-1], y_cat, y_cont, gs, n_types, b)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11))
 def sample_dpmpp_2m(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -434,6 +458,7 @@ def sample_dpmpp_2m(
     guidance_scale: float = 0.0,
     t_end: float = 1e-3,
     n_types: int = 4,
+    clip_x0: bool = False,
 ) -> jax.Array:
     """DPM-Solver++(2M): second-order multistep ODE solver in log-SNR time
     with data (x0) prediction — NEW TPU scope, no reference counterpart
@@ -476,7 +501,9 @@ def sample_dpmpp_2m(
         a = sde.alpha(tb).reshape(b, 1, 1, 1)
         s = sde.sigma(tb).reshape(b, 1, 1, 1)
         eps = predict_eps_cfg(apply_fn, params, x, tb, y_cat, y_cont, gs, n_types)
-        return (x - s * eps) / jnp.clip(a, min=1e-6)
+        x0 = (x - s * eps) / jnp.clip(a, min=1e-6)
+        # the solver works in x0 form, so thresholding is a direct clip here
+        return jnp.clip(x0, -1.0, 1.0) if clip_x0 else x0
 
     lam_prevv = jnp.concatenate([lam_grid[:1], lam_grid[:-1]])  # lam_{i-1} per step
 
