@@ -136,6 +136,11 @@ def main() -> int:
         )
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+    if str(cfg.get("param", "eps")) == "v":
+        # v-prediction checkpoint: adapt to the eps-space the samplers expect
+        from toycrystals_tpu.models import eps_apply_from_v
+
+        apply_fn = eps_apply_from_v(sde, apply_fn)
     y_cat, y_cont = sample_grid_conditions(
         args.n, int(cfg["n_types"]), int(cfg["y_cont_dim"]), args.theta_max
     )

@@ -79,6 +79,13 @@ def main() -> int:
     p.add_argument("--p-uncond", type=float, default=0.1)
     p.add_argument("--t-power", type=float, default=1.0,
                    help="Sample t as t=u**t_power. >1 biases towards small t.")
+    p.add_argument("--param", type=str, default=None, choices=["eps", "v"],
+                   help="Prediction target: eps (the reference's) or v "
+                        "(Salimans & Ho v-prediction — well-conditioned at "
+                        "every t; recommended with --logsnr-shift for "
+                        "high-res training). Stored in the checkpoint config "
+                        "so the sampler adapts automatically. Default: eps, "
+                        "or the checkpoint's param on --resume.")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="0 disables EMA. Typical: 0.999 or 0.9999")
 
@@ -176,6 +183,8 @@ def main() -> int:
     )
     if args.img_size is None:
         args.img_size = int((resume_raw or {}).get("config", {}).get("img_size") or 64)
+    if args.param is None:
+        args.param = str((resume_raw or {}).get("config", {}).get("param") or "eps")
 
     mesh = setup_mesh(args.shard, args.batch_size)
 
@@ -236,10 +245,12 @@ def main() -> int:
             dataset_seed=args.seed,
             resident=None if procedural else (ds.x_u8, ds.y_cat, ds.y_cont),
             mesh=mesh,
+            parameterization=args.param,
         )
     else:
         step = make_sde_train_step(
-            model, tx, sde, args.n_types, args.p_uncond, args.t_power, args.ema_decay
+            model, tx, sde, args.n_types, args.p_uncond, args.t_power,
+            args.ema_decay, args.param,
         )
         _get_batch = get_batch
         get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))
@@ -252,6 +263,7 @@ def main() -> int:
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
         "logsnr_shift": args.logsnr_shift,
         "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": dtype_name,
+        "param": args.param,
     }
 
     start_epoch = 0
@@ -272,6 +284,10 @@ def main() -> int:
     state = replicate(mesh, state)
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+    if args.param == "v":
+        from toycrystals_tpu.models import eps_apply_from_v
+
+        apply_fn = eps_apply_from_v(sde, apply_fn)
 
     def save_samples(out_path, sample_state):
         prm = sample_state.sample_params if args.sample_from_ema == 1 else sample_state.params

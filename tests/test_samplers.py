@@ -147,6 +147,56 @@ def test_clip_x0_noop_on_well_behaved_model():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_v_parameterization_identities():
+    """v-prediction plumbing: for the delta-at-0 data distribution the exact
+    v-model is v = alpha*x_t/sigma (since eps = x_t/sigma, x0 = 0); wrapping
+    it with eps_apply_from_v must reproduce the exact eps-model —
+    eps = (sigma + alpha^2/sigma) x_t = x_t/sigma — and the samplers must
+    produce identical outputs through either route."""
+    from toycrystals_tpu.models import eps_apply_from_v
+
+    sde = VPSDE(0.1, 30.0)
+
+    def exact_eps(p, xt, t, yc, yv):
+        return xt / sde.sigma(t).reshape(-1, 1, 1, 1)
+
+    def exact_v(p, xt, t, yc, yv):
+        a = sde.alpha(t).reshape(-1, 1, 1, 1)
+        s = sde.sigma(t).reshape(-1, 1, 1, 1)
+        return a * xt / s
+
+    wrapped = eps_apply_from_v(sde, exact_v)
+    x = jax.random.normal(K, (2, 16, 16, 1))
+    t = jnp.full((2,), 0.37)
+    np.testing.assert_allclose(
+        np.asarray(wrapped({}, x, t, None, None)),
+        np.asarray(exact_eps({}, x, t, None, None)), rtol=1e-6)
+
+    ycat, ycont = sample_grid_conditions(2, 4, 4)
+    a = sample_reverse_sde_euler_maruyama(
+        exact_eps, {}, sde, ycat, ycont, (2, 16, 16, 1), K, n_steps=10)
+    b = sample_reverse_sde_euler_maruyama(
+        wrapped, {}, sde, ycat, ycont, (2, 16, 16, 1), K, n_steps=10)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_v_loss_runs_and_differs_from_eps():
+    apply_fn, v = _tiny_unet()
+    sde = VPSDE(0.1, 30.0)
+    x0 = jax.random.uniform(K, (4, 16, 16, 1))
+    ycat = jnp.arange(4, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((4, 4))
+    le = diffusion_loss_eps(apply_fn, v, sde, x0, ycat, ycont, K, 4,
+                            parameterization="eps")
+    lv = diffusion_loss_eps(apply_fn, v, sde, x0, ycat, ycont, K, 4,
+                            parameterization="v")
+    assert np.isfinite(float(le)) and np.isfinite(float(lv))
+    assert abs(float(le) - float(lv)) > 1e-6  # different targets
+    with pytest.raises(ValueError):
+        diffusion_loss_eps(apply_fn, v, sde, x0, ycat, ycont, K, 4,
+                           parameterization="x0")
+
+
 def test_sampler_rejects_bad_t_end():
     apply_fn, v = _tiny_unet()
     sde = VPSDE()

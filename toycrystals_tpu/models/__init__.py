@@ -11,6 +11,7 @@ from toycrystals_tpu.models.sde_score_model import (
     VPSDE,
     timestep_embedding_continuous,
     diffusion_loss_eps,
+    eps_apply_from_v,
     predict_eps_cfg,
     sample_dpmpp_2m,
     sample_probability_flow_ode,
@@ -30,6 +31,7 @@ __all__ = [
     "VPSDE",
     "timestep_embedding_continuous",
     "diffusion_loss_eps",
+    "eps_apply_from_v",
     "predict_eps_cfg",
     "sample_dpmpp_2m",
     "sample_probability_flow_ode",

@@ -247,9 +247,22 @@ def diffusion_loss_eps(
     n_types: int,
     p_uncond: float = 0.1,
     t_power: float = 1.0,
+    parameterization: str = "eps",
 ) -> jax.Array:
-    """eps-prediction denoising MSE with CFG conditioning dropout
-    (`sde_score_model.py:358-399`). x0 in [0,1] NHWC; mapped to [-1,1]."""
+    """Denoising MSE with CFG conditioning dropout
+    (`sde_score_model.py:358-399`). x0 in [0,1] NHWC; mapped to [-1,1].
+
+    parameterization:
+      "eps" — the reference's target: MSE(net, eps).
+      "v"   — v-prediction (Salimans & Ho 2022): target v = alpha*eps -
+      sigma*x0. NEW TPU scope: the eps-target is ill-conditioned at large t
+      (the implied x0 divides by alpha ~ 1e-4 — see `_maybe_clip_eps`), while
+      the v-target keeps both implied quantities (x0 = alpha*x_t - sigma*v,
+      eps = sigma*x_t + alpha*v) bounded at every t. Wrap a v-model for the
+      eps-based samplers with `eps_apply_from_v`.
+    """
+    if parameterization not in ("eps", "v"):
+        raise ValueError(f"parameterization must be eps|v, got {parameterization}")
     b = x0.shape[0]
     k_t, k_eps, k_drop = jax.random.split(key, 3)
 
@@ -267,8 +280,24 @@ def diffusion_loss_eps(
         y_cat = jnp.where(drop, n_types, y_cat)  # null token (`:390-396`)
         y_cont = jnp.where(drop[:, None], 0.0, y_cont)
 
-    eps_hat = apply_fn(params, x_t, t, y_cat, y_cont)
-    return jnp.mean((eps_hat - eps) ** 2)
+    pred = apply_fn(params, x_t, t, y_cat, y_cont)
+    target = eps if parameterization == "eps" else a * eps - s * x0
+    return jnp.mean((pred - target) ** 2)
+
+
+def eps_apply_from_v(sde: VPSDE, apply_fn: Callable[..., jax.Array]):
+    """Adapt a v-prediction model into the eps-space apply_fn every sampler
+    expects: eps = sigma*x_t + alpha*v (exact identity of the VP marginal).
+    CFG combining commutes with this affine map (both passes share (x_t, t)),
+    so wrapping before `predict_eps_cfg` equals combining in v-space."""
+
+    def eps_apply(params, x_t, t, y_cat, y_cont):
+        v = apply_fn(params, x_t, t, y_cat, y_cont)
+        a = sde.alpha(t).reshape(-1, 1, 1, 1)
+        s = sde.sigma(t).reshape(-1, 1, 1, 1)
+        return s * x_t + a * v
+
+    return eps_apply
 
 
 # ---------------------------------------------------------------------------

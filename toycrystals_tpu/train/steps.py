@@ -116,12 +116,14 @@ def make_sde_train_step(
     p_uncond: float,
     t_power: float,
     ema_decay: float,
+    parameterization: str = "eps",
 ) -> Callable:
     """Returns step(state, x0, y_cat, y_cont, key) -> (state, loss).
 
     EMA lerp happens inside the compiled step on the donated state
     (vs the reference's eager per-parameter Python loop,
-    `train_sde_score_model.py:236-240`).
+    `train_sde_score_model.py:236-240`). parameterization: eps (reference)
+    or v (see `diffusion_loss_eps`).
     """
     apply_fn = lambda params, x_t, t, y_cat, y_cont: model.apply(
         {"params": params}, x_t, t, y_cat, y_cont
@@ -129,7 +131,8 @@ def make_sde_train_step(
 
     def loss_fn(params, x0, y_cat, y_cont, key):
         return diffusion_loss_eps(
-            apply_fn, params, sde, x0, y_cat, y_cont, key, n_types, p_uncond, t_power
+            apply_fn, params, sde, x0, y_cat, y_cont, key, n_types, p_uncond,
+            t_power, parameterization,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -302,6 +305,7 @@ def make_sde_train_epoch(
     dataset_seed: int = 0,
     resident: tuple | None = None,
     mesh=None,
+    parameterization: str = "eps",
 ) -> Callable:
     """A whole SDE training epoch as one compiled program (new TPU-native
     scope — the reference runs one eager step per batch from a Python loop,
@@ -313,7 +317,8 @@ def make_sde_train_epoch(
     Returns epoch_fn(state, key) -> (state, mean_loss). `key` drives both the
     shuffle and the per-step loss randomness; the state is donated.
     """
-    step_fn = make_sde_train_step(model, tx, sde, n_types, p_uncond, t_power, ema_decay)
+    step_fn = make_sde_train_step(model, tx, sde, n_types, p_uncond, t_power,
+                                  ema_decay, parameterization)
     get_batch = _batch_source(lattice_cfg, dataset_seed, resident, mesh=mesh)
 
     def run_batch(state, idx, key):
