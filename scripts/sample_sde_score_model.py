@@ -69,6 +69,9 @@ def main() -> int:
     p.add_argument("--beta-min", type=float, default=0.1)
     p.add_argument("--beta-max", type=float, default=30.0)
     p.add_argument("--logsnr-shift", type=float, default=0.0)
+    p.add_argument("--param", type=str, default="eps", choices=["eps", "v"],
+                   help="Prediction target fallback (only used if the "
+                        "checkpoint has no embedded config).")
 
     p.add_argument("--out-path", default=None, help="Where to save the sample grid png")
     p.add_argument("--dtype", type=str, default="auto",
@@ -101,6 +104,7 @@ def main() -> int:
         "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
         "base_ch": args.base_ch, "emb_dim": args.emb_dim, "cond_ch": args.cond_ch,
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
+        "param": args.param,
     }
 
     import jax.numpy as jnp

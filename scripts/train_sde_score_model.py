@@ -359,7 +359,8 @@ def main() -> int:
             save_samples(out_path, state)
             print(f"  saved: {out_path}")
 
-    save_loss_curves({"eps_mse": loss_hist}, os.path.join(results_dir, "sde_loss.png"))
+    save_loss_curves({f"{args.param}_mse": loss_hist},
+                     os.path.join(results_dir, "sde_loss.png"))
     print(f"saved: {os.path.join(results_dir, 'sde_loss.png')}")
     print(f"checkpoint: {ckpt_path}")
     return 0
