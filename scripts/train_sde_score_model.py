@@ -356,8 +356,16 @@ def main() -> int:
 
         if ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1):
             out_path = os.path.join(results_dir, f"sde_samples_epoch_{epoch + 1:03d}.png")
-            save_samples(out_path, state)
-            print(f"  saved: {out_path}")
+            # A diagnostic grid must never turn a completed run into a failure
+            # (at 256x256 the 36-image grid is one long dispatch, which some
+            # backends cap — the checkpoint/metrics above are already saved).
+            try:
+                save_samples(out_path, state)
+                print(f"  saved: {out_path}")
+            except Exception as e:  # noqa: BLE001
+                print(f"  WARNING: sample grid failed ({type(e).__name__}); "
+                      f"training artefacts are saved — use "
+                      f"sample_sde_score_model.py (chunk large grids): {e}")
 
     save_loss_curves({f"{args.param}_mse": loss_hist},
                      os.path.join(results_dir, "sde_loss.png"))
