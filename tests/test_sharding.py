@@ -184,6 +184,25 @@ def test_cli_shard_flag(tmp_path, monkeypatch):
     assert (tmp_path / "checkpoints/diffusion_prior_last.msgpack").exists()
 
 
+def test_graft_dryrun_self_provisions():
+    """__graft_entry__.dryrun_multichip provisions its own virtual CPU mesh in
+    a fresh process with no XLA_FLAGS — the exact driver invocation that
+    failed in round 1 (MULTICHIP_r01.json rc=1: 'asked for 8 devices, have
+    1'). n=2 keeps the stretch-batch sampling leg (512*n images) quick."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(2)"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+
 def test_sharded_datagen():
     """On-device procedural generation shards over the batch axis."""
     cfg = LatticeConfig(rot_only=True)
