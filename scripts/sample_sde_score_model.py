@@ -48,6 +48,14 @@ def main() -> int:
                         "a 2nd-order multistep ODE solver that needs far fewer "
                         "steps (new TPU scope; try --steps 30-50).")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="Max images per compiled dispatch. Large batches are "
+                        "sampled in equal-size chunks (one shared executable; "
+                        "last chunk padded+trimmed) because the tunneled-TPU "
+                        "backend kills single dispatches over ~1-2 min. "
+                        "Default: auto from img size / steps / sampler, "
+                        "calibrated at base_ch=96 (e.g. 12 at 256x256/300-step "
+                        "sde). 0 disables chunking.")
     p.add_argument("--clip-x0", type=int, default=0, choices=[0, 1],
                    help="Static x0-thresholding inside the sampler: clip the "
                         "implied x0 to [-1,1] each step and re-derive eps. Off "
@@ -86,6 +94,8 @@ def main() -> int:
     from toycrystals_tpu.models import (
         CondUNetTiny,
         VPSDE,
+        auto_chunk,
+        sample_chunked,
         sample_dpmpp_2m,
         sample_probability_flow_ode,
         sample_reverse_sde_euler_maruyama,
@@ -148,25 +158,28 @@ def main() -> int:
     y_cat, y_cont = sample_grid_conditions(
         args.n, int(cfg["n_types"]), int(cfg["y_cont_dim"]), args.theta_max
     )
-    mesh = setup_mesh(args.shard, args.n)
-    if mesh is not None:
-        # batch-sharded sampling: conditions split over the mesh, params
-        # replicated; GSPMD shards the whole compiled denoising scan with
-        # zero cross-chip traffic until the host gather (SURVEY.md §5)
-        from toycrystals_tpu.parallel import data_sharding, replicate
-
-        params = replicate(mesh, params)
-        y_cat = jax.device_put(y_cat, data_sharding(mesh, 1))
-        y_cont = jax.device_put(y_cont, data_sharding(mesh, 2))
+    # --shard needs no divisibility from --n: sample_chunked pads each chunk
+    # up to a mesh multiple and trims after the gather, so the reference's
+    # canonical 36-grid shards over 8 chips.
+    mesh = setup_mesh(args.shard)
     sampler_fn = {
         "ode": sample_probability_flow_ode,
         "sde": sample_reverse_sde_euler_maruyama,
         "dpm": sample_dpmpp_2m,
     }[args.sampler]
     img_size = int(cfg.get("img_size", 64))
-    x = sampler_fn(
-        apply_fn, params, sde, y_cat, y_cont, (args.n, img_size, img_size, 1),
-        jax.random.key(args.seed), n_steps=args.steps,
+    chunk = args.chunk
+    if chunk is None:
+        chunk = auto_chunk(img_size, args.steps, args.sampler)
+    if chunk == 0:
+        chunk = args.n
+    if chunk < args.n:
+        print(f"sampling {args.n} images in dispatches of {chunk} "
+              f"(tunnel-safe; --chunk 0 to disable)")
+    x = sample_chunked(
+        sampler_fn, apply_fn, params, sde, y_cat, y_cont,
+        (args.n, img_size, img_size, 1), jax.random.key(args.seed),
+        chunk=chunk, mesh=mesh, n_steps=args.steps,
         guidance_scale=args.cfg, t_end=args.t_end, n_types=int(cfg["n_types"]),
         clip_x0=bool(args.clip_x0),
     )

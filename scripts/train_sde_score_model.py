@@ -63,14 +63,20 @@ def main() -> int:
     p.add_argument("--cond-ch", type=int, default=8)
     p.add_argument("--time-ch", type=int, default=8)
 
-    # SDE schedule
-    p.add_argument("--beta-min", type=float, default=0.1)
-    p.add_argument("--beta-max", type=float, default=30.0)
-    p.add_argument("--logsnr-shift", type=float, default=0.0,
+    # SDE schedule. Defaults are None so --resume can restore the trained
+    # schedule from the checkpoint config: silently continuing a shifted
+    # schedule at shift=0 (and rewriting the config) would corrupt both the
+    # run and later sampling.
+    p.add_argument("--beta-min", type=float, default=None,
+                   help="Default: 0.1, or the checkpoint's value on --resume.")
+    p.add_argument("--beta-max", type=float, default=None,
+                   help="Default: 30.0, or the checkpoint's value on --resume.")
+    p.add_argument("--logsnr-shift", type=float, default=None,
                    help="Shift the schedule's log-SNR profile by this many "
                         "nats (0 = the reference schedule). Training at "
                         "resolution R with the 64x64-tuned schedule wants "
-                        "2*ln(64/R), e.g. -2.77 at 256x256.")
+                        "2*ln(64/R), e.g. -2.77 at 256x256. Default: 0, or "
+                        "the checkpoint's value on --resume.")
 
     # Training
     p.add_argument("--batch-size", type=int, default=128)
@@ -141,6 +147,8 @@ def main() -> int:
     from toycrystals_tpu.models import (
         CondUNetTiny,
         VPSDE,
+        auto_chunk,
+        sample_chunked,
         sample_probability_flow_ode,
     )
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
@@ -159,6 +167,9 @@ def main() -> int:
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves
 
     if args.out_dir is None:
+        # a fresh timestamped run dir cannot hold a resume checkpoint, so the
+        # schedule flags resolve to their defaults before naming the run
+        args.beta_max = 30.0 if args.beta_max is None else args.beta_max
         args.out_dir = os.path.join("runs", "sde_score", _make_run_name(args))
     print(f"run dir: {args.out_dir}")
 
@@ -178,13 +189,21 @@ def main() -> int:
     resume_raw = None
     if args.resume and os.path.exists(ckpt_path):
         resume_raw = load_checkpoint(ckpt_path)
-    dtype_name = args.dtype or str(
-        (resume_raw or {}).get("config", {}).get("dtype") or "float32"
-    )
+    rcfg = (resume_raw or {}).get("config", {})
+    dtype_name = args.dtype or str(rcfg.get("dtype") or "float32")
     if args.img_size is None:
-        args.img_size = int((resume_raw or {}).get("config", {}).get("img_size") or 64)
+        args.img_size = int(rcfg.get("img_size") or 64)
     if args.param is None:
-        args.param = str((resume_raw or {}).get("config", {}).get("param") or "eps")
+        args.param = str(rcfg.get("param") or "eps")
+    # the SDE schedule must survive --resume (a shifted run silently
+    # continuing at shift=0 diverges AND rewrites the config the sampler
+    # trusts); explicit flags still override
+    if args.beta_min is None:
+        args.beta_min = float(rcfg.get("beta_min", 0.1))
+    if args.beta_max is None:
+        args.beta_max = float(rcfg.get("beta_max", 30.0))
+    if args.logsnr_shift is None:
+        args.logsnr_shift = float(rcfg.get("logsnr_shift", 0.0))
 
     mesh = setup_mesh(args.shard, args.batch_size)
 
@@ -293,12 +312,14 @@ def main() -> int:
         prm = sample_state.sample_params if args.sample_from_ema == 1 else sample_state.params
         y_cat, y_cont = sample_grid_conditions(36, args.n_types, args.y_cont_dim)
         # in-training grids use the ODE sampler, like the reference's
-        # save_sde_samples default (`sde_score_model.py:312`)
-        x = sample_probability_flow_ode(
-            apply_fn, prm, sde, y_cat, y_cont, (36, img_size, img_size, 1),
-            jax.random.key(args.seed + 1), n_steps=args.sample_steps,
-            guidance_scale=args.cfg, t_end=args.t_end,
-            clip_x0=bool(args.clip_x0),
+        # save_sde_samples default (`sde_score_model.py:312`), chunked so a
+        # 256x256 grid stays under the tunnel's per-dispatch duration cap
+        x = sample_chunked(
+            sample_probability_flow_ode, apply_fn, prm, sde, y_cat, y_cont,
+            (36, img_size, img_size, 1), jax.random.key(args.seed + 1),
+            chunk=auto_chunk(img_size, args.sample_steps, "ode"), mesh=mesh,
+            n_steps=args.sample_steps, guidance_scale=args.cfg,
+            t_end=args.t_end, clip_x0=bool(args.clip_x0),
         )
         save_image_grid(
             x, out_path,
@@ -307,6 +328,7 @@ def main() -> int:
 
     print("starting SDE score-model training loop.")
     ensure_file(metrics_path)
+    sample_grid_ok = False
 
     steps_per_epoch = n_items // args.batch_size
     # Profile the SECOND trained epoch (first is compile + warmup).
@@ -356,16 +378,20 @@ def main() -> int:
 
         if ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1):
             out_path = os.path.join(results_dir, f"sde_samples_epoch_{epoch + 1:03d}.png")
-            # A diagnostic grid must never turn a completed run into a failure
-            # (at 256x256 the 36-image grid is one long dispatch, which some
-            # backends cap — the checkpoint/metrics above are already saved).
+            # A transient backend failure in a diagnostic grid must not turn a
+            # long completed run into a failure (checkpoint/metrics above are
+            # already saved) — but a sampling path that has NEVER worked in
+            # this run is a real bug and re-raises.
             try:
                 save_samples(out_path, state)
+                sample_grid_ok = True
                 print(f"  saved: {out_path}")
             except Exception as e:  # noqa: BLE001
+                if not sample_grid_ok:
+                    raise
                 print(f"  WARNING: sample grid failed ({type(e).__name__}); "
-                      f"training artefacts are saved — use "
-                      f"sample_sde_score_model.py (chunk large grids): {e}")
+                      f"training artefacts are saved — rerun via "
+                      f"sample_sde_score_model.py: {e}")
 
     save_loss_curves({f"{args.param}_mse": loss_hist},
                      os.path.join(results_dir, "sde_loss.png"))

@@ -126,3 +126,32 @@ def test_05_train_sde_and_sample(workdir):
     )
     results = list((workdir / "runs/t/results").glob("samples_ckpt-*"))
     assert len(results) == 4
+
+
+def test_06_sampler_chunking_and_schedule_resume(workdir):
+    """--chunk splits a batch into fixed-size dispatches (odd n -> one
+    padded+trimmed chunk); --resume restores the SDE schedule from the
+    checkpoint config instead of silently reverting to shift=0."""
+    run(
+        "sample_sde_score_model.py", "--out-dir", "runs/t", "--ckpt", "last",
+        "--steps", "3", "--sampler", "sde", "--n", "5", "--chunk", "2",
+        "--out-path", "runs/t/results/chunked.png", cwd=workdir,
+    )
+    assert (workdir / "runs/t/results/chunked.png").exists()
+
+    run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "1", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--logsnr-shift", "-1.0", "--sample-steps", "3",
+        "--out-dir", "runs/shift", cwd=workdir,
+    )
+    run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "2", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--sample-steps", "3",
+        "--out-dir", "runs/shift", "--resume", cwd=workdir,
+    )
+    from toycrystals_tpu.utils import load_checkpoint
+
+    ckpt = workdir / "runs/shift/checkpoints/sde_score_model_last.msgpack"
+    assert float(load_checkpoint(str(ckpt))["config"]["logsnr_shift"]) == -1.0

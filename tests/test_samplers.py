@@ -223,6 +223,48 @@ def test_ddim_deterministic_and_converges_shape():
         ddim_sample(apply_fn, v, sched, ycat, ycont, 10, 8, K, 0.5)
 
 
+def test_auto_chunk_calibration():
+    """auto_chunk keeps the measured-safe 12-image dispatch at 256x256/300
+    sde and scales with evals*pixels (benchmarks/NOTES.md)."""
+    from toycrystals_tpu.models import auto_chunk
+
+    assert auto_chunk(256, 300, "sde") == 12
+    assert auto_chunk(64, 300, "sde") == 192
+    assert auto_chunk(64, 300, "ode") == 96  # Heun: 2 evals/step
+    assert auto_chunk(256, 600, "ode") >= 1  # never zero
+
+
+def test_sample_chunked_shape_padding_determinism():
+    """sample_chunked: odd n over small chunks -> same shape, finite, and
+    deterministic (every dispatch uses fold_in(key, chunk_start))."""
+    from toycrystals_tpu.models import sample_chunked
+
+    apply_fn, v = _tiny_unet()
+    params = v["params"]
+    af = lambda p, xt, t, yc, yv: apply_fn({"params": p}, xt, t, yc, yv)
+    sde = VPSDE(0.1, 30.0)
+    n = 10
+    y_cat, y_cont = sample_grid_conditions(n, 4, 4)
+    kw = dict(n_steps=3, guidance_scale=1.5, t_end=1e-3, n_types=4)
+    x1 = sample_chunked(
+        sample_reverse_sde_euler_maruyama, af, params, sde, y_cat, y_cont,
+        (n, 16, 16, 1), K, chunk=4, **kw,
+    )
+    assert x1.shape == (n, 16, 16, 1)
+    assert np.isfinite(x1).all() and x1.min() >= 0.0 and x1.max() <= 1.0
+    x2 = sample_chunked(
+        sample_reverse_sde_euler_maruyama, af, params, sde, y_cat, y_cont,
+        (n, 16, 16, 1), K, chunk=4, **kw,
+    )
+    np.testing.assert_array_equal(x1, x2)
+    # the first chunk of a chunked run IS the full run at chunk >= n
+    x_full = sample_chunked(
+        sample_reverse_sde_euler_maruyama, af, params, sde, y_cat, y_cont,
+        (n, 16, 16, 1), K, chunk=64, **kw,
+    )
+    assert x_full.shape == (n, 16, 16, 1)
+
+
 def test_grid_conditions_convention():
     """6x6 grids cycle types and sweep theta (train_vae.py:92-98 et al.)."""
     ycat, ycont = sample_grid_conditions(36, 4, 4)

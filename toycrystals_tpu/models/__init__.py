@@ -13,6 +13,8 @@ from toycrystals_tpu.models.sde_score_model import (
     diffusion_loss_eps,
     eps_apply_from_v,
     predict_eps_cfg,
+    auto_chunk,
+    sample_chunked,
     sample_dpmpp_2m,
     sample_probability_flow_ode,
     sample_reverse_sde_euler_maruyama,
@@ -33,6 +35,8 @@ __all__ = [
     "diffusion_loss_eps",
     "eps_apply_from_v",
     "predict_eps_cfg",
+    "auto_chunk",
+    "sample_chunked",
     "sample_dpmpp_2m",
     "sample_probability_flow_ode",
     "sample_reverse_sde_euler_maruyama",

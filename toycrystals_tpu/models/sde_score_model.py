@@ -553,6 +553,81 @@ def sample_dpmpp_2m(
     return _x0_projection(apply_fn, params, sde, x, ts[-1], y_cat, y_cont, gs, n_types, b)
 
 
+def auto_chunk(img_size: int, n_steps: int, sampler: str = "sde") -> int:
+    """Largest per-dispatch sample batch that keeps one compiled sampling
+    scan under the tunneled-TPU per-dispatch duration cap (~1-2 min;
+    CLAUDE.md). Calibrated at the flagship base_ch=96: 12 images at
+    256x256/300 steps is measured safe (benchmarks/NOTES.md), and dispatch
+    cost scales with model-evals * pixels. Heun ("ode") runs 2 model evals
+    per step; "sde"/"dpm" run 1."""
+    evals = n_steps * (2 if sampler == "ode" else 1)
+    budget = 12 * 300 * (256 // 64) ** 2  # images * evals * (px/64)^2, measured safe
+    scale = max(1, (img_size + 63) // 64) ** 2
+    return max(1, budget // max(1, evals * scale))
+
+
+def sample_chunked(
+    sampler_fn: Callable[..., jax.Array],
+    apply_fn: Callable[..., jax.Array],
+    params: Any,
+    sde: VPSDE,
+    y_cat: jax.Array,
+    y_cont: jax.Array,
+    img_shape: tuple[int, int, int, int],
+    key: jax.Array,
+    *,
+    chunk: int,
+    mesh=None,
+    **kw,
+):
+    """Split one big sampling batch into fixed-size compiled dispatches.
+
+    Two environment realities make a single monolithic dispatch wrong at
+    scale: the tunneled-TPU backend kills any single dispatch over ~1-2 min
+    (CLAUDE.md), and GSPMD batch sharding needs the batch to divide over the
+    mesh. One pad-and-trim fixes both: every dispatch runs at exactly `chunk`
+    images (the chunk is first rounded up to a mesh multiple; the final short
+    chunk is padded by repeating its last condition row and trimmed after),
+    so ONE executable is compiled and reused for every chunk, and the
+    reference's canonical n=36 grid (`sde_score_model.py:301-355`) shards
+    cleanly over an 8-chip mesh.
+
+    Each chunk folds its start index into `key` (results are statistically
+    identical to, but differ bitwise from, a single unchunked dispatch).
+    Chunks are pulled to the host as they finish; returns an np.ndarray."""
+    import numpy as np
+
+    n, h, w, c = img_shape
+    m = int(mesh.devices.size) if mesh is not None else 1
+    chunk = max(1, min(int(chunk), n))
+    chunk = -(-chunk // m) * m  # round up to a mesh multiple
+
+    if mesh is not None:
+        from toycrystals_tpu.parallel import data_sharding, replicate
+
+        params = replicate(mesh, params)
+
+    def pad(a, k):
+        return a if k == 0 else jnp.concatenate(
+            [a, jnp.repeat(a[-1:], k, axis=0)], axis=0
+        )
+
+    outs = []
+    for i0 in range(0, n, chunk):
+        take = min(chunk, n - i0)
+        yc = pad(y_cat[i0:i0 + take], chunk - take)
+        yv = pad(y_cont[i0:i0 + take], chunk - take)
+        if mesh is not None:
+            yc = jax.device_put(yc, data_sharding(mesh, yc.ndim))
+            yv = jax.device_put(yv, data_sharding(mesh, yv.ndim))
+        x = sampler_fn(
+            apply_fn, params, sde, yc, yv, (chunk, h, w, c),
+            jax.random.fold_in(key, i0), **kw,
+        )
+        outs.append(np.asarray(jax.device_get(x))[:take])
+    return np.concatenate(outs, axis=0)
+
+
 def sample_grid_conditions(
     n: int, n_types: int, y_cont_dim: int, theta_max: float = math.pi / 3.0
 ) -> tuple[jax.Array, jax.Array]:
