@@ -53,6 +53,11 @@ def main() -> int:
                         "all steps) as ONE program.")
     p.add_argument("--free-bits", type=float, default=0.05,
                    help="Free bits threshold in nats per latent dim (0 disables).")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from checkpoints/vae_last.msgpack (params, "
+                        "optimiser state, epoch, loss histories). New scope: "
+                        "the reference trainer overwrites vae_last.pt every "
+                        "epoch with no resume path (train_vae.py:336).")
     add_shard_flag(p)
     p.set_defaults(uncond=False)
     args = p.parse_args()
@@ -71,7 +76,7 @@ def main() -> int:
         make_vae_train_epoch,
         make_vae_train_step,
     )
-    from toycrystals_tpu.utils import save_checkpoint
+    from toycrystals_tpu.utils import load_checkpoint, save_checkpoint
     from toycrystals_tpu.utils.figures import (
         save_image_grid,
         save_loss_curves,
@@ -120,7 +125,34 @@ def main() -> int:
         )
     params = model.init({"params": key, "reparam": key}, *init_args)["params"]
     tx = optax.adam(args.lr)
-    state = replicate(mesh, create_train_state(params, tx))
+    state = create_train_state(params, tx)
+
+    import os
+
+    ckpt_path = "checkpoints/vae_last.msgpack"
+    start_epoch = 0
+    loss_hist, recon_hist, kl_hist, klr_hist = [], [], [], []
+    if args.resume and os.path.exists(ckpt_path):
+        import flax.serialization as ser
+
+        raw = load_checkpoint(ckpt_path)
+        state = state.replace(
+            params=ser.from_state_dict(state.params, raw["params"]),
+            opt_state=ser.from_state_dict(state.opt_state, raw["opt_state"])
+            if "opt_state" in raw else state.opt_state,
+        )
+        start_epoch = int(raw.get("epoch_next", 0))
+
+        def _aslist(v):
+            return [float(x) for x in (v.values() if isinstance(v, dict) else v)]
+
+        hists = raw.get("hists", {})
+        loss_hist = _aslist(hists.get("loss", []))
+        recon_hist = _aslist(hists.get("recon", []))
+        kl_hist = _aslist(hists.get("kl", []))
+        klr_hist = _aslist(hists.get("kl_raw", []))
+        print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
+    state = replicate(mesh, state)
     if args.fused_epoch:
         epoch_fn = make_vae_train_epoch(
             model, tx, args.free_bits, args.batch_size, n_items, uncond=args.uncond,
@@ -140,11 +172,10 @@ def main() -> int:
         "cond_drop": args.cond_drop, "uncond": args.uncond, "img_size": args.img_size,
     }
 
-    loss_hist, recon_hist, kl_hist, klr_hist = [], [], [], []
     print("starting training loop...")
 
     n_batches = n_items // args.batch_size
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         beta_eff = args.beta * min(1.0, (epoch + 1) / 5.0)  # warm-up (`train_vae.py:311`)
         t0 = time.perf_counter()
         key, sub = jax.random.split(key)
@@ -172,8 +203,15 @@ def main() -> int:
             f"epoch {epoch + 1:02d}/{args.epochs} loss={avg['loss']:.4f} "
             f"recon={avg['recon']:.4f} kl={avg['kl']:.6f} ({ips:.0f} img/s)"
         )
-        save_checkpoint("checkpoints/vae_last.msgpack",
-                        {"params": state.params, "config": config})
+        # `params` stays top-level so the frozen-VAE consumers
+        # (train_diffusion_prior.py) keep their schema; the extra fields make
+        # the checkpoint resumable.
+        save_checkpoint(ckpt_path, {
+            "params": state.params, "config": config,
+            "opt_state": state.opt_state, "epoch_next": epoch + 1,
+            "hists": {"loss": loss_hist, "recon": recon_hist,
+                      "kl": kl_hist, "kl_raw": klr_hist},
+        })
 
     # --- diagnostics on one fresh batch (`train_vae.py:339-347`) ---
     fresh_idx = rng.permutation(n_items)[: args.batch_size]

@@ -155,3 +155,14 @@ def test_06_sampler_chunking_and_schedule_resume(workdir):
 
     ckpt = workdir / "runs/shift/checkpoints/sde_score_model_last.msgpack"
     assert float(load_checkpoint(str(ckpt))["config"]["logsnr_shift"]) == -1.0
+
+
+def test_07_vae_resume(workdir):
+    """VAE --resume (new scope: the reference has none) restores params,
+    optimiser state and epoch from the per-epoch checkpoint."""
+    r = run(
+        "train_vae.py", "--procedural", "--n-samples", "128", "--epochs", "2",
+        "--batch-size", "32", "--z-dim", "8", "--resume", cwd=workdir,
+    )
+    assert "resumed from" in r.stdout
+    assert "epoch 02/2" in r.stdout and "epoch 01" not in r.stdout
