@@ -108,7 +108,14 @@ def main() -> int:
     if not os.path.exists(ckpt_path):
         raise FileNotFoundError(f"Checkpoint not found: {ckpt_path}")
 
-    payload = load_checkpoint(ckpt_path)
+    if ckpt_path.endswith(".pt"):
+        # reference torch checkpoint: weights + config convert onto our param
+        # tree (same-weights sampling = the strongest figure-parity check)
+        from toycrystals_tpu.utils.torch_interop import load_torch_score_checkpoint
+
+        payload = load_torch_score_checkpoint(ckpt_path)
+    else:
+        payload = load_checkpoint(ckpt_path)
 
     cfg = payload.get("config") or {
         "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,
