@@ -65,10 +65,11 @@ def main() -> int:
                    help="batch for the sharded stretch run (v5e-8 config)")
     p.add_argument("--only", type=str, default="",
                    help="comma list of sections to run (default all): "
-                        "sde,ode,dpm,vae,sde_train,datagen,ddim")
+                        "sde,ode,dpm,vae,sde_train,datagen,ddim,fidelity")
     args = p.parse_args()
     only = {s for s in args.only.split(",") if s}
-    sections = {"sde", "ode", "dpm", "vae", "sde_train", "datagen", "ddim"}
+    sections = {"sde", "ode", "dpm", "vae", "sde_train", "datagen", "ddim",
+                "fidelity"}
     if unknown := only - sections:
         p.error(f"unknown --only section(s) {sorted(unknown)}; choose from {sorted(sections)}")
 
@@ -81,6 +82,10 @@ def main() -> int:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/toycrystals_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if only == {"fidelity"}:
+        # quality scoring needs no accelerator — keep the TPU free (and never
+        # contend with a training run on the single tunneled chip)
+        jax.config.update("jax_platforms", "cpu")
 
     from toycrystals_tpu.data import LatticeConfig, generate_batch
     from toycrystals_tpu.models import (
@@ -128,7 +133,10 @@ def main() -> int:
             uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
             n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
         results["ode_sampling"] = {"images_per_sec": round(b / dt, 2),
-                                   "batch": b, "steps": args.steps, "cfg": 1.5}
+                                   "batch": b, "steps": args.steps, "cfg": 1.5,
+                                   "note": "Heun is 2 model evals/step — "
+                                           "~half the SDE sampler's img/s at "
+                                           "equal steps by construction"}
 
     if want("dpm"):
         # DPM-Solver++(2M), 50 steps: the fast-sampler path (new TPU scope;
@@ -212,6 +220,36 @@ def main() -> int:
         dt = timeit(lambda k: ddim_sample(papply, pparams, sched, pyc, pyv, 50, 32, k),
                     key)
         results["ddim_prior"] = {"z_per_sec": round(pb / dt, 2), "batch": pb, "steps": 50}
+
+    # --- sample-quality fidelity on the committed figure grids ---
+    if want("fidelity"):
+        from toycrystals_tpu.utils.fidelity import score_grid_png
+
+        grids = {
+            "ours_sde300": (REPO / "assets/score_based_diffusion/"
+                            "score_based_diffusion_samples.png", 64),
+            "reference_sde300": (Path("/root/reference/assets/score_based_diffusion/"
+                                      "score_based_diffusion_samples.png"), 64),
+            "ours_256_vparam_sde300": (REPO / "assets/score_based_diffusion_256/"
+                                       "samples_256_vparam_sde300_cfg1.5_ema.png", 256),
+        }
+        # DPM fast-path grids, once committed (round-2 item #3)
+        for steps in (30, 50):
+            p_dpm = REPO / f"assets/score_based_diffusion/dpm{steps}_samples.png"
+            if p_dpm.exists():
+                grids[f"ours_dpm{steps}"] = (p_dpm, 64)
+        fid = {}
+        for name, (path, size) in grids.items():
+            if not path.exists():
+                continue
+            r = score_grid_png(path, out_size=size)
+            fid[name] = {
+                "type_acc": round(r["type_acc"], 3),
+                "type_acc_merged01": round(r["type_acc_merged01"], 3),
+                "theta_mae_deg": round(r["theta_mae_deg"], 2),
+                "cond_fidelity": round(r["cond_fidelity"], 3),
+            }
+        results["fidelity"] = fid
 
     # --- stretch configs (BASELINE.md): 256x256 lattices + hi-res sampling ---
     if args.stretch:

@@ -1,10 +1,18 @@
 from toycrystals_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from toycrystals_tpu.utils.fidelity import (
+    extract_grid_tiles,
+    score_grid_png,
+    score_lattice_fidelity,
+)
 from toycrystals_tpu.utils.metrics import append_jsonl, ensure_file, truncate_jsonl
 from toycrystals_tpu.utils.profiling import dispatch_latency, scan_timer
 
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "extract_grid_tiles",
+    "score_grid_png",
+    "score_lattice_fidelity",
     "append_jsonl",
     "ensure_file",
     "truncate_jsonl",
