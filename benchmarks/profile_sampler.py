@@ -27,16 +27,57 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def _op_table(trace_dir: str) -> list[tuple[str, float, float]]:
-    """Parse the xplane into (op category, self-time us, fraction) rows via
-    the tensorboard profile plugin's converter."""
+def _hlo_rows(trace_dir: str) -> list[dict]:
+    """Parse the xplane's hlo_stats into a list of per-op dicts."""
+    import json
+
     from xprof.convert import raw_to_tool_data as rttd
 
     xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
     if not xplanes:
         raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
-    data, _ = rttd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
-    return data
+    data, _ = rttd.xspace_to_tool_data(xplanes, "hlo_stats", {})
+    obj = json.loads(data if isinstance(data, str) else data.decode())
+    cols = [c["id"] for c in obj["cols"]]
+    rows = []
+    for r in obj["rows"]:
+        vals = [(c or {}).get("v") if isinstance(c, dict) else c for c in r["c"]]
+        rows.append(dict(zip(cols, vals)))
+    return rows
+
+
+def _print_breakdown(rows: list[dict], top_n: int = 18) -> None:
+    by_cat: dict[str, float] = {}
+    total = 0.0
+    for r in rows:
+        t = float(r.get("total_self_time") or 0.0)
+        by_cat[r.get("category") or "?"] = by_cat.get(r.get("category") or "?", 0.0) + t
+        total += t
+    if total <= 0:
+        print("no device HLO stats in trace (CPU backend traces carry none "
+              "— run on TPU)", file=sys.stderr)
+        return
+    print("\n## Device self-time by HLO category\n")
+    print("| category | self time (us) | % |")
+    print("|---|---|---|")
+    for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"| {cat} | {t:,.0f} | {100 * t / total:.1f}% |")
+    print(f"| **total** | {total:,.0f} | 100% |")
+
+    print(f"\n## Top {top_n} ops by self time\n")
+    print("| op | category | self % | bound by | GFLOP/s | mem GiB/s | DMA stall % |")
+    print("|---|---|---|---|---|---|---|")
+    key = lambda r: -float(r.get("total_self_time") or 0.0)
+    for r in sorted(rows, key=key)[:top_n]:
+        name = (r.get("hlo_op_name") or "?")[:60]
+        print(
+            f"| {name} | {r.get('category')} "
+            f"| {float(r.get('total_self_time') or 0) / total * 100:.1f}% "
+            f"| {r.get('bound_by') or '-'} "
+            f"| {float(r.get('model_flop_rate') or 0):,.0f} "
+            f"| {float(r.get('measured_memory_bw') or 0):,.0f} "
+            f"| {float(r.get('dma_stall_percent') or 0):.0f}% |"
+        )
 
 
 def main() -> int:
@@ -82,8 +123,7 @@ def main() -> int:
         jax.device_get(run(jax.random.key(1)))
 
     print(f"trace: {args.trace_dir}", file=sys.stderr)
-    table = _op_table(args.trace_dir)
-    print(table if isinstance(table, str) else repr(table)[:4000])
+    _print_breakdown(_hlo_rows(args.trace_dir))
     return 0
 
 

@@ -232,6 +232,10 @@ def main() -> int:
                                       "score_based_diffusion_samples.png"), 64),
             "ours_256_vparam_sde300": (REPO / "assets/score_based_diffusion_256/"
                                        "samples_256_vparam_sde300_cfg1.5_ema.png", 256),
+            # SDE-300 grid from the SAME checkpoint as the DPM grids below, so
+            # the fast-sampler comparison holds weights fixed.
+            "ours_sde300_repro64": (REPO / "assets/score_based_diffusion/"
+                                    "repro64_sde300_samples.png", 64),
         }
         # DPM fast-path grids, once committed (round-2 item #3)
         for steps in (30, 50):
