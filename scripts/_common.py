@@ -39,7 +39,7 @@ def select_device(device: str) -> str:
     return device
 
 
-def add_shard_flag(p) -> None:
+def add_shard_flag(p, space: bool = False) -> None:
     """--shard N: GSPMD data parallelism over the first N devices."""
     p.add_argument(
         "--shard", type=int, default=0,
@@ -49,24 +49,52 @@ def add_shard_flag(p) -> None:
              "divide by N. The reference has no distributed story "
              "(SURVEY.md §2 parallelism audit) — this is new TPU scope.",
     )
+    if space:
+        p.add_argument(
+            "--shard-space", type=int, default=0,
+            help="Also shard the image HEIGHT over N devices (2-D "
+                 "('data','space') mesh; GSPMD spatial partitioning inserts "
+                 "conv halo exchange / GN-stat psum / sequence-parallel "
+                 "attention over ICI — parallel/spatial.py). For hi-res "
+                 "sampling where activations, not the batch, are what "
+                 "outgrow one chip. Total devices = max(1,--shard) * N; "
+                 "H/4 must divide by N. 0/1 = no spatial sharding.",
+        )
 
 
-def setup_mesh(shard: int, *batch_sizes: int):
-    """Resolve --shard into a Mesh (or None for single-device).
+def setup_mesh(shard: int, *batch_sizes: int,
+               shard_space: int = 0, img_size: int | None = None):
+    """Resolve --shard [+ --shard-space] into a Mesh (None = single-device).
 
     Validates device availability and that every batch size divides over
-    the mesh so each device gets equal shards.
+    the 'data' axis so each device gets equal shards; with shard_space > 1
+    builds the 2-D ('data','space') mesh and checks H divisibility.
     """
-    if shard in (0, 1):
-        return None
     if shard < 0:
         raise SystemExit(f"--shard must be >= 0, got {shard}")
+    n_data = max(1, shard)
     n_dev = len(jax.devices())
+    for b in batch_sizes:
+        if b % n_data:
+            raise SystemExit(f"batch size {b} not divisible by --shard {shard}")
+    if shard_space > 1:
+        from toycrystals_tpu.parallel import check_spatial_divisibility, make_mesh_2d
+
+        if n_data * shard_space > n_dev:
+            raise SystemExit(
+                f"--shard {shard} x --shard-space {shard_space} needs "
+                f"{n_data * shard_space} devices, have {n_dev}")
+        if img_size is not None:
+            try:
+                check_spatial_divisibility(img_size, shard_space)
+            except ValueError as e:
+                raise SystemExit(str(e))
+        print(f"2-D mesh: {n_data} data x {shard_space} space devices")
+        return make_mesh_2d(n_data, shard_space)
+    if shard in (0, 1):
+        return None
     if shard > n_dev:
         raise SystemExit(f"--shard {shard} but only {n_dev} devices visible")
-    for b in batch_sizes:
-        if b % shard:
-            raise SystemExit(f"batch size {b} not divisible by --shard {shard}")
     from toycrystals_tpu.parallel import make_mesh
 
     print(f"data-parallel mesh: {shard} devices")

@@ -63,7 +63,7 @@ def main() -> int:
                         "coherent 256x256 stretch samples — the raw "
                         "eps-parameterization's trajectories saturate there "
                         "(see benchmarks/NOTES.md).")
-    add_shard_flag(p)
+    add_shard_flag(p, space=True)
 
     # fallback model config (only used if checkpoint has no config)
     p.add_argument("--n-types", type=int, default=4)
@@ -168,13 +168,14 @@ def main() -> int:
     # --shard needs no divisibility from --n: sample_chunked pads each chunk
     # up to a mesh multiple and trims after the gather, so the reference's
     # canonical 36-grid shards over 8 chips.
-    mesh = setup_mesh(args.shard)
+    img_size = int(cfg.get("img_size", 64))
+    mesh = setup_mesh(args.shard, shard_space=getattr(args, "shard_space", 0),
+                      img_size=img_size)
     sampler_fn = {
         "ode": sample_probability_flow_ode,
         "sde": sample_reverse_sde_euler_maruyama,
         "dpm": sample_dpmpp_2m,
     }[args.sampler]
-    img_size = int(cfg.get("img_size", 64))
     chunk = args.chunk
     if chunk is None:
         chunk = auto_chunk(img_size, args.steps, args.sampler)
@@ -183,12 +184,17 @@ def main() -> int:
     if chunk < args.n:
         print(f"sampling {args.n} images in dispatches of {chunk} "
               f"(tunnel-safe; --chunk 0 to disable)")
+    sp_kw = {}
+    if mesh is not None and "space" in mesh.axis_names:
+        from toycrystals_tpu.parallel import image_sharding
+
+        sp_kw["sharding"] = image_sharding(mesh)
     x = sample_chunked(
         sampler_fn, apply_fn, params, sde, y_cat, y_cont,
         (args.n, img_size, img_size, 1), jax.random.key(args.seed),
         chunk=chunk, mesh=mesh, n_steps=args.steps,
         guidance_scale=args.cfg, t_end=args.t_end, n_types=int(cfg["n_types"]),
-        clip_x0=bool(args.clip_x0),
+        clip_x0=bool(args.clip_x0), **sp_kw,
     )
     side = int(math.ceil(math.sqrt(args.n)))
     save_image_grid(

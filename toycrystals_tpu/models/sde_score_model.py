@@ -372,7 +372,19 @@ def _maybe_clip_eps(eps_hat, x, a, s, clip_x0: bool):
     return (x - a * x0) / s
 
 
-@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11))
+def _make_pin(sharding):
+    """Identity, or a GSPMD sharding constraint pinning the sampler's scan
+    carry to `sharding` each step. Pinning only the carry is enough: the SPMD
+    partitioner propagates the image sharding through the whole U-Net forward
+    (conv halo exchange, GN-stat psum, sequence-parallel attention inserted
+    automatically) instead of resharding to whatever it would infer from the
+    replicated params."""
+    if sharding is None:
+        return lambda v: v
+    return lambda v: jax.lax.with_sharding_constraint(v, sharding)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11, 12))
 def sample_probability_flow_ode(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -386,17 +398,21 @@ def sample_probability_flow_ode(
     t_end: float = 1e-3,
     n_types: int = 4,
     clip_x0: bool = False,
+    sharding=None,
 ) -> jax.Array:
     """Probability-flow ODE with Heun (2nd order) as one lax.scan
     (`sde_score_model.py:452-504`). img_shape is NHWC with C == 1.
-    clip_x0: see `_maybe_clip_eps`."""
+    clip_x0: see `_maybe_clip_eps`. sharding: optional NamedSharding pinning
+    the solution through the scan (e.g. `parallel.image_sharding` for
+    batch+height GSPMD spatial partitioning — see parallel/spatial.py)."""
     t_end = _check_t_end(t_end)
     b, h, w, c = img_shape
     assert c == 1
     gs = float(guidance_scale)
+    pin = _make_pin(sharding)
 
     ts = _quadratic_grid(n_steps, t_end)
-    x = jax.random.normal(key, (b, h, w, c), jnp.float32)  # [-1,1]-space prior
+    x = pin(jax.random.normal(key, (b, h, w, c), jnp.float32))  # [-1,1]-space prior
 
     def drift(x, tb):
         """-0.5 beta x - 0.5 beta score, score = -eps_hat / sigma (`:426-449`)."""
@@ -416,13 +432,13 @@ def sample_probability_flow_ode(
         d1 = drift(x, tb)
         x_euler = x + d1 * dt
         d2 = drift(x_euler, tb_next)
-        return x + 0.5 * (d1 + d2) * dt, None
+        return pin(x + 0.5 * (d1 + d2) * dt), None
 
     x, _ = jax.lax.scan(body, x, (ts[:-1], ts[1:]))
     return _x0_projection(apply_fn, params, sde, x, ts[-1], y_cat, y_cont, gs, n_types, b)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11, 12))
 def sample_reverse_sde_euler_maruyama(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -436,19 +452,21 @@ def sample_reverse_sde_euler_maruyama(
     t_end: float = 1e-3,
     n_types: int = 4,
     clip_x0: bool = False,
+    sharding=None,
 ) -> jax.Array:
     """Reverse-time SDE via Euler-Maruyama as one lax.scan
     (`sde_score_model.py:507-569`): dx = [f - g^2 score] dt + g dW,
     f = -0.5 beta x, g = sqrt(beta). Integrates t: 1 -> t_end (dt < 0).
-    clip_x0: see `_maybe_clip_eps`."""
+    clip_x0: see `_maybe_clip_eps`. sharding: see `_make_pin`."""
     t_end = _check_t_end(t_end)
     b, h, w, c = img_shape
     assert c == 1
     gs = float(guidance_scale)
+    pin = _make_pin(sharding)
 
     ts = _quadratic_grid(n_steps, t_end)
     k_init, k_noise = jax.random.split(key)
-    x = jax.random.normal(k_init, (b, h, w, c), jnp.float32)
+    x = pin(jax.random.normal(k_init, (b, h, w, c), jnp.float32))
 
     def body(x, step):
         t, t_next, i = step
@@ -467,14 +485,14 @@ def sample_reverse_sde_euler_maruyama(
 
         z = jax.random.normal(jax.random.fold_in(k_noise, i), x.shape, x.dtype)
         x = x + drift * dt + g * jnp.sqrt(jnp.abs(dt)) * z
-        return x, None
+        return pin(x), None
 
     steps = (ts[:-1], ts[1:], jnp.arange(n_steps))
     x, _ = jax.lax.scan(body, x, steps)
     return _x0_projection(apply_fn, params, sde, x, ts[-1], y_cat, y_cont, gs, n_types, b)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11, 12))
 def sample_dpmpp_2m(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -488,6 +506,7 @@ def sample_dpmpp_2m(
     t_end: float = 1e-3,
     n_types: int = 4,
     clip_x0: bool = False,
+    sharding=None,
 ) -> jax.Array:
     """DPM-Solver++(2M): second-order multistep ODE solver in log-SNR time
     with data (x0) prediction — NEW TPU scope, no reference counterpart
@@ -510,6 +529,7 @@ def sample_dpmpp_2m(
     b, h, w, c = img_shape
     assert c == 1
     gs = float(guidance_scale)
+    pin = _make_pin(sharding)
 
     def lam(t):
         a = sde.alpha(t)
@@ -523,7 +543,7 @@ def sample_dpmpp_2m(
     ts = jnp.interp(lam_grid, lam_dense[::-1], ts_dense[::-1])
     ts = ts.at[0].set(1.0).at[-1].set(t_end)
 
-    x = jax.random.normal(key, (b, h, w, c), jnp.float32)
+    x = pin(jax.random.normal(key, (b, h, w, c), jnp.float32))
 
     def x0_pred(x, t):
         tb = jnp.full((b,), t)
@@ -545,7 +565,7 @@ def sample_dpmpp_2m(
         d = jnp.where(i == 0, m, (1.0 + 1.0 / (2.0 * r)) * m - (1.0 / (2.0 * r)) * m_prev)
         a_next = sde.alpha(t_next)
         x = (sde.sigma(t_next) / sde.sigma(t_cur)) * x - a_next * jnp.expm1(-h_step) * d
-        return (x, m), None
+        return (pin(x), pin(m)), None
 
     steps = (ts[:-1], ts[1:], lam_grid[:-1], lam_grid[1:], lam_prevv[:-1],
              jnp.arange(n_steps))
@@ -598,7 +618,9 @@ def sample_chunked(
     import numpy as np
 
     n, h, w, c = img_shape
-    m = int(mesh.devices.size) if mesh is not None else 1
+    # Batch only shards over the 'data' axis — on a 2-D (data, space) mesh
+    # the 'space' factor constrains H, not the batch (parallel/spatial.py).
+    m = int(dict(mesh.shape).get("data", mesh.devices.size)) if mesh is not None else 1
     chunk = max(1, min(int(chunk), n))
     chunk = -(-chunk // m) * m  # round up to a mesh multiple
 
