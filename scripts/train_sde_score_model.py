@@ -127,7 +127,7 @@ def main() -> int:
                         "end; 0 = end only). The reference saves every epoch; "
                         "on a tunneled TPU each save pulls the full state to "
                         "the host.")
-    add_shard_flag(p)
+    add_shard_flag(p, space=True)
     p.add_argument("--save-best", type=int, default=0, choices=[0, 1],
                    help="Also write sde_score_model_best.msgpack whenever the "
                         "epoch loss improves. The reference's sampler resolves "
@@ -205,7 +205,9 @@ def main() -> int:
     if args.logsnr_shift is None:
         args.logsnr_shift = float(rcfg.get("logsnr_shift", 0.0))
 
-    mesh = setup_mesh(args.shard, args.batch_size)
+    mesh = setup_mesh(args.shard, args.batch_size,
+                      shard_space=getattr(args, "shard_space", 0),
+                      img_size=args.img_size)
 
     # --- data ---
     img_size = args.img_size
@@ -314,12 +316,17 @@ def main() -> int:
         # in-training grids use the ODE sampler, like the reference's
         # save_sde_samples default (`sde_score_model.py:312`), chunked so a
         # 256x256 grid stays under the tunnel's per-dispatch duration cap
+        sp_kw = {}
+        if mesh is not None and "space" in mesh.axis_names:
+            from toycrystals_tpu.parallel import image_sharding
+
+            sp_kw["sharding"] = image_sharding(mesh)
         x = sample_chunked(
             sample_probability_flow_ode, apply_fn, prm, sde, y_cat, y_cont,
             (36, img_size, img_size, 1), jax.random.key(args.seed + 1),
             chunk=auto_chunk(img_size, args.sample_steps, "ode"), mesh=mesh,
             n_steps=args.sample_steps, guidance_scale=args.cfg,
-            t_end=args.t_end, clip_x0=bool(args.clip_x0),
+            t_end=args.t_end, clip_x0=bool(args.clip_x0), **sp_kw,
         )
         save_image_grid(
             x, out_path,

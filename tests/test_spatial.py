@@ -100,6 +100,69 @@ def test_spatial_only_mesh():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_spatially_sharded_train_step_matches_single_device():
+    """make_sde_train_step under a 2-D (data,space) mesh: images enter
+    batch+height sharded (data_sharding is spatial-aware for 4-D leaves) and
+    the step's numerics match single-device — the grad all-reduce now spans
+    both mesh axes."""
+    import optax
+
+    from toycrystals_tpu.train import create_train_state, make_sde_train_step
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    b, hw = 16, 16
+    x = jax.random.uniform(jax.random.key(1), (b, hw, hw, 1))
+    ycat = jnp.arange(b, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((b, 4))
+    params = model.init(K, x, jnp.zeros((b,)), ycat, ycont)["params"]
+    tx = optax.sgd(1e-2)  # linear in grads, see test_sharding.py
+    sde = VPSDE(0.1, 30.0)
+    step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.0, t_power=1.0,
+                               ema_decay=0.0)
+
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    s1, loss1 = step(s1, x, ycat, ycont, K)
+
+    mesh = make_mesh_2d(2, 4)
+    from toycrystals_tpu.parallel import shard_batch
+
+    s2 = replicate(mesh, create_train_state(jax.tree.map(jnp.copy, params), tx))
+    xb, cb, vb = shard_batch(mesh, (x, ycat, ycont))
+    assert xb.sharding.spec[:2] == ("data", "space")
+    s2, loss2 = step(s2, xb, cb, vb, K)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    l1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    l2 = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
+
+
+def test_spatially_sharded_fused_epoch():
+    """The whole-epoch program (shuffle + on-device datagen + steps) runs
+    under the 2-D mesh with finite loss — constrain_batch pins each rendered
+    batch to (data, space) inside the compiled scan."""
+    import optax
+
+    from toycrystals_tpu.data import LatticeConfig
+    from toycrystals_tpu.train import create_train_state, make_sde_train_epoch
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    cfg = LatticeConfig(img_size=16, rot_only=True)
+    x0 = jnp.zeros((2, 16, 16, 1))
+    params = model.init(K, x0, jnp.zeros((2,)), jnp.zeros((2,), jnp.int32),
+                        jnp.zeros((2, 4)))["params"]
+    tx = optax.sgd(1e-2)
+    mesh = make_mesh_2d(2, 4)
+    epoch = make_sde_train_epoch(
+        model, tx, VPSDE(0.1, 30.0), n_types=4, p_uncond=0.0, t_power=1.0,
+        ema_decay=0.0, batch_size=16, n_items=32, lattice_cfg=cfg,
+        dataset_seed=0, mesh=mesh,
+    )
+    state = replicate(mesh, create_train_state(params, tx))
+    state, loss = epoch(state, K)
+    assert np.isfinite(float(loss))
+
+
 def test_cli_shard_space(tmp_path, monkeypatch):
     """--shard 2 --shard-space 4 end-to-end on the virtual mesh (runpy
     in-process; subprocesses can't force a multi-device CPU backend)."""
@@ -121,7 +184,7 @@ def test_cli_shard_space(tmp_path, monkeypatch):
     run("train_sde_score_model.py", "--procedural", "--n-samples", 32,
         "--img-size", 16, "--epochs", 1, "--batch-size", 16, "--base-ch", 8,
         "--emb-dim", 16, "--sample-steps", 2, "--sample-every", 99,
-        "--out-dir", "runs/sp")
+        "--shard", 2, "--shard-space", 4, "--out-dir", "runs/sp")
     run("sample_sde_score_model.py", "--out-dir", "runs/sp", "--ckpt", "last",
         "--steps", 2, "--cfg", "1.5", "--sampler", "sde", "--n", 8,
         "--shard", 2, "--shard-space", 4)

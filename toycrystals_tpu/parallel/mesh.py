@@ -35,7 +35,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim, replicate the rest."""
+    """Shard the leading (batch) dim, replicate the rest.
+
+    On a 2-D ('data','space') mesh (parallel/spatial.py), 4-D leaves are NHWC
+    images and additionally shard their height over 'space' — so passing the
+    2-D mesh through any existing `mesh=` path (train step, fused epoch,
+    chunked sampling) turns on spatial partitioning with no other changes."""
+    if "space" in mesh.axis_names and ndim == 4:
+        return NamedSharding(mesh, P(axis, "space", None, None))
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
