@@ -232,6 +232,8 @@ def main() -> int:
                                       "score_based_diffusion_samples.png"), 64),
             "ours_256_vparam_sde300": (REPO / "assets/score_based_diffusion_256/"
                                        "samples_256_vparam_sde300_cfg1.5_ema.png", 256),
+            "ours_256_vparam_dpm50": (REPO / "assets/score_based_diffusion_256/"
+                                      "samples_256_vparam_dpm50_cfg1.5_ema.png", 256),
             # SDE-300 grid from the SAME checkpoint as the DPM grids below, so
             # the fast-sampler comparison holds weights fixed.
             "ours_sde300_repro64": (REPO / "assets/score_based_diffusion/"
