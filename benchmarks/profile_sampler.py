@@ -82,8 +82,13 @@ def _print_breakdown(rows: list[dict], top_n: int = 18) -> None:
 
 def main() -> int:
     p = argparse.ArgumentParser()
+    p.add_argument("--what", type=str, default="sample", choices=["sample", "train"],
+                   help="sample = the 300-step reverse-SDE sampler scan (bf16, "
+                        "CFG-doubled batch 256); train = the fused SDE train "
+                        "step (f32 params, reference batch 128, EMA in-step).")
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=None,
+                   help="default: 256 for sample, 128 for train")
     p.add_argument("--base-ch", type=int, default=96)
     p.add_argument("--trace-dir", type=str, default="/tmp/sampler_trace")
     args = p.parse_args()
@@ -100,27 +105,50 @@ def main() -> int:
     )
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
 
-    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
-                         emb_dim=128, dtype=jnp.bfloat16)
     sde = VPSDE(0.1, 30.0)
-    b = args.batch
+    b = args.batch or (128 if args.what == "train" else 256)
     y_cat, y_cont = sample_grid_conditions(b, 4, 4)
-    params = model.init(
-        jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
-        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
-    )["params"]
-    apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
 
-    def run(key):
-        x = sample_reverse_sde_euler_maruyama(
-            apply_fn, params, sde, y_cat, y_cont, (b, 64, 64, 1), key,
-            n_steps=args.steps, guidance_scale=1.5, t_end=0.005,
-        )
-        return jnp.sum(x)
+    if args.what == "train":
+        import optax
 
-    jax.device_get(run(jax.random.key(0)))  # compile + warm
-    with jax.profiler.trace(args.trace_dir):
-        jax.device_get(run(jax.random.key(1)))
+        from toycrystals_tpu.train import create_train_state, make_sde_train_step
+
+        model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
+                             emb_dim=128)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
+        )["params"]
+        tx = optax.adam(1e-4)
+        step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1,
+                                   t_power=1.0, ema_decay=0.999)
+        x0 = jax.random.uniform(jax.random.key(1), (b, 64, 64, 1))
+        state = create_train_state(params, tx, ema=True)
+        state, loss = step(state, x0, y_cat, y_cont, jax.random.key(2))  # warm
+        jax.block_until_ready(loss)
+        with jax.profiler.trace(args.trace_dir):
+            state, loss = step(state, x0, y_cat, y_cont, jax.random.key(3))
+            jax.block_until_ready(loss)
+    else:
+        model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
+                             emb_dim=128, dtype=jnp.bfloat16)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
+        )["params"]
+        apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+
+        def run(key):
+            x = sample_reverse_sde_euler_maruyama(
+                apply_fn, params, sde, y_cat, y_cont, (b, 64, 64, 1), key,
+                n_steps=args.steps, guidance_scale=1.5, t_end=0.005,
+            )
+            return jnp.sum(x)
+
+        jax.device_get(run(jax.random.key(0)))  # compile + warm
+        with jax.profiler.trace(args.trace_dir):
+            jax.device_get(run(jax.random.key(1)))
 
     print(f"trace: {args.trace_dir}", file=sys.stderr)
     _print_breakdown(_hlo_rows(args.trace_dir))
