@@ -297,6 +297,29 @@ def main() -> int:
                 "n_devices": len(jax.devices()), "steps": args.steps, "cfg": 1.5,
             }
 
+            # Spatially-sharded hi-res sampling: 256x256 activations split by
+            # height over a ('data','space') mesh (parallel/spatial.py) — the
+            # config where activations, not batch, outgrow one chip.
+            from toycrystals_tpu.parallel import image_sharding, make_mesh_2d, replicate
+
+            n_sp = min(4, len(jax.devices()))
+            mesh2 = make_mesh_2d(len(jax.devices()) // n_sp, n_sp)
+            nd = int(dict(mesh2.shape)["data"])
+            bsp = max(nd, b256 - b256 % nd)
+            syc, syv = sample_grid_conditions(bsp, 4, 4)
+            syc = jax.device_put(syc, data_sharding(mesh2, 1))
+            syv = jax.device_put(syv, data_sharding(mesh2, 2))
+            pr2 = replicate(mesh2, uparams)
+            dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
+                uapply, pr2, sde, syc, syv, (bsp, 256, 256, 1), k,
+                n_steps=args.steps, guidance_scale=1.5, t_end=0.005,
+                sharding=image_sharding(mesh2)), key, repeats=2)
+            results["sde_sampling_256_spatial"] = {
+                "images_per_sec": round(bsp / dt, 2), "batch": bsp,
+                "mesh": f"{nd}x{n_sp}", "steps": args.steps,
+                "img_size": 256, "cfg": 1.5,
+            }
+
     # Merge into any existing results file so a partial --only rerun updates
     # its sections instead of wiping the full table.
     out = Path(args.out)
