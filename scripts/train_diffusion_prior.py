@@ -98,7 +98,13 @@ def main() -> int:
     # --- frozen VAE (`train_diffusion_prior.py:154-159`) ---
     vae = CondVAE(z_dim=args.z_dim, n_types=args.n_types,
                   y_cont_dim=args.y_cont_dim, cond_drop=0.0)
-    vae_obj = load_checkpoint(args.vae_ckpt)
+    if args.vae_ckpt.endswith(".pt"):
+        # reference torch VAE checkpoint (raw state_dict) converts directly
+        from toycrystals_tpu.utils.torch_interop import load_torch_vae_checkpoint
+
+        vae_obj = load_torch_vae_checkpoint(args.vae_ckpt)
+    else:
+        vae_obj = load_checkpoint(args.vae_ckpt)
     vae_params = vae_obj["params"] if "params" in vae_obj else vae_obj
     vae_z_dim = args.z_dim
 
@@ -176,7 +182,12 @@ def main() -> int:
     state = create_train_state(params, tx)
 
     if (args.sample_only or args.resume) and os.path.exists(args.prior_ckpt):
-        raw = load_checkpoint(args.prior_ckpt)
+        if args.prior_ckpt.endswith(".pt"):
+            from toycrystals_tpu.utils.torch_interop import load_torch_prior_checkpoint
+
+            raw = load_torch_prior_checkpoint(args.prior_ckpt)
+        else:
+            raw = load_checkpoint(args.prior_ckpt)
         state = state.replace(params=ser.from_state_dict(state.params, raw["params"]))
         print(f"loaded diffusion prior: {args.prior_ckpt}")
 

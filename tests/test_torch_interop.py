@@ -155,3 +155,245 @@ def test_rejects_non_score_pt(tmp_path):
     torch.save({"something": 1}, pt_path)
     with pytest.raises(ValueError, match="not a reference score-model checkpoint"):
         load_torch_score_checkpoint(str(pt_path))
+
+
+# ---------------------------------------------------------------------------
+# VAE + FiLM-prior interop (round-2 scope: migrate every reference checkpoint)
+# ---------------------------------------------------------------------------
+
+
+def test_vae_state_dict_matches_torch_forward():
+    """A synthetic reference-layout CondVAE state_dict converts onto our flax
+    CondVAE and reproduces the torch forward exactly (encode mu/logvar and
+    decode output). The torch side is composed from functional ops following
+    `/root/reference/src/toycrystals/models/vae.py:50-70` — this validates
+    the flatten-order permutes and the ConvTranspose kernel flip."""
+    import torch.nn.functional as F
+
+    from toycrystals_tpu.models.vae import CondVAE
+    from toycrystals_tpu.utils.torch_interop import flax_vae_params_from_torch_state_dict
+
+    rng = np.random.default_rng(0)
+    z_dim, n_types, y_cont_dim = 6, 4, 4
+    y_dim = n_types + y_cont_dim
+    enc_ch = [(1, 32), (32, 64), (64, 128), (128, 256)]
+    dec_ch = [(256, 128), (128, 64), (64, 32), (32, 1)]
+
+    def t(*shape, scale=0.05):
+        return rng.normal(size=shape).astype(np.float32) * scale
+
+    sd = {}
+    for i, (ci, co) in zip((0, 2, 4, 6), enc_ch):
+        sd[f"enc.{i}.weight"], sd[f"enc.{i}.bias"] = t(co, ci, 4, 4), t(co)
+    sd["enc_fc.weight"], sd["enc_fc.bias"] = t(256, 256 * 16 + y_dim), t(256)
+    sd["mu.weight"], sd["mu.bias"] = t(z_dim, 256), t(z_dim)
+    sd["logvar.weight"], sd["logvar.bias"] = t(z_dim, 256), t(z_dim)
+    sd["dec_fc.weight"], sd["dec_fc.bias"] = t(256 * 16, z_dim + y_dim), t(256 * 16)
+    for i, (ci, co) in zip((0, 2, 4, 6), dec_ch):
+        sd[f"dec.{i}.weight"], sd[f"dec.{i}.bias"] = t(ci, co, 4, 4), t(co)
+
+    x = rng.uniform(size=(3, 1, 64, 64)).astype(np.float32)
+    y_cat = np.array([0, 1, 2])
+    y_cont = rng.normal(size=(3, y_cont_dim)).astype(np.float32)
+    z = rng.normal(size=(3, z_dim)).astype(np.float32)
+
+    # torch functional forward (reference math, `vae.py:50-70`)
+    T = torch.tensor
+    y = torch.cat([F.one_hot(T(y_cat), n_types).float(), T(y_cont)], dim=1)
+    h = T(x)
+    for i in (0, 2, 4, 6):
+        h = F.relu(F.conv2d(h, T(sd[f"enc.{i}.weight"]), T(sd[f"enc.{i}.bias"]),
+                            stride=2, padding=1))
+    h = torch.cat([h.flatten(1), y], dim=1)
+    h = F.relu(F.linear(h, T(sd["enc_fc.weight"]), T(sd["enc_fc.bias"])))
+    mu_ref = F.linear(h, T(sd["mu.weight"]), T(sd["mu.bias"])).numpy()
+    lv_ref = F.linear(h, T(sd["logvar.weight"]), T(sd["logvar.bias"])).numpy()
+    d = F.linear(torch.cat([T(z), y], dim=1), T(sd["dec_fc.weight"]),
+                 T(sd["dec_fc.bias"])).view(-1, 256, 4, 4)
+    for i in (0, 2, 4, 6):
+        d = F.conv_transpose2d(d, T(sd[f"dec.{i}.weight"]), T(sd[f"dec.{i}.bias"]),
+                               stride=2, padding=1)
+        d = torch.sigmoid(d) if i == 6 else F.relu(d)
+    xhat_ref = d.numpy()
+
+    # ours, with converted params
+    vae = CondVAE(z_dim=z_dim, n_types=n_types, y_cont_dim=y_cont_dim, cond_drop=0.0)
+    params = flax_vae_params_from_torch_state_dict(sd)
+    mu, lv = vae.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       jnp.asarray(y_cat), jnp.asarray(y_cont), method="encode")
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lv), lv_ref, rtol=1e-4, atol=1e-5)
+    xhat = vae.apply({"params": params}, jnp.asarray(z), jnp.asarray(y_cat),
+                     jnp.asarray(y_cont), method="decode")
+    np.testing.assert_allclose(np.asarray(xhat).transpose(0, 3, 1, 2), xhat_ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prior_state_dict_matches_torch_forward():
+    """A synthetic reference-layout DiffusionPriorFiLM state_dict converts
+    onto our flax module and reproduces the torch forward (functional
+    composition of `diffusion_prior.py:112-127`; LayerNorm eps matched to
+    flax's 1e-6)."""
+    import torch.nn.functional as F
+
+    from toycrystals_tpu.models import DiffusionPriorFiLM
+    from toycrystals_tpu.utils.torch_interop import flax_prior_params_from_torch_state_dict
+
+    rng = np.random.default_rng(1)
+    z_dim, n_types, ycd, ted, width, nb, yce = 6, 4, 4, 16, 24, 3, 8
+
+    def t(*shape, scale=0.1):
+        return rng.normal(size=shape).astype(np.float32) * scale
+
+    sd = {
+        "y_cat_emb.weight": t(n_types, yce),
+        "y_cont_mlp.0.weight": t(yce, ycd), "y_cont_mlp.0.bias": t(yce),
+        "y_cont_mlp.2.weight": t(yce, yce), "y_cont_mlp.2.bias": t(yce),
+        "y_fuse.0.weight": t(width, 2 * yce), "y_fuse.0.bias": t(width),
+        "y_fuse.2.weight": t(width, width), "y_fuse.2.bias": t(width),
+        "t_mlp.0.weight": t(width, ted), "t_mlp.0.bias": t(width),
+        "t_mlp.2.weight": t(width, width), "t_mlp.2.bias": t(width),
+        "in_proj.weight": t(width, z_dim), "in_proj.bias": t(width),
+        "out_norm.weight": 1 + t(width), "out_norm.bias": t(width),
+        "out_proj.weight": t(z_dim, width), "out_proj.bias": t(z_dim),
+    }
+    for i in range(nb):
+        sd[f"blocks.{i}.norm.weight"] = 1 + t(width)
+        sd[f"blocks.{i}.norm.bias"] = t(width)
+        sd[f"blocks.{i}.fc1.weight"] = t(4 * width, width)
+        sd[f"blocks.{i}.fc1.bias"] = t(4 * width)
+        sd[f"blocks.{i}.fc2.weight"] = t(width, 4 * width)
+        sd[f"blocks.{i}.fc2.bias"] = t(width)
+        sd[f"blocks.{i}.cond.weight"] = t(2 * width, 2 * width)
+        sd[f"blocks.{i}.cond.bias"] = t(2 * width)
+
+    zt = rng.normal(size=(3, z_dim)).astype(np.float32)
+    tt = np.array([0, 7, 13])
+    y_cat = np.array([0, 1, 3])
+    y_cont = rng.normal(size=(3, ycd)).astype(np.float32)
+
+    # torch functional forward (`diffusion_prior.py:112-127`)
+    T = torch.tensor
+    lin = lambda h, p: F.linear(h, T(sd[f"{p}.weight"]), T(sd[f"{p}.bias"]))
+    half = ted // 2
+    freqs = torch.exp(-torch.linspace(0.0, float(np.log(10_000.0)), half))
+    args_ = T(tt).float()[:, None] * freqs[None, :]
+    te = torch.cat([torch.sin(args_), torch.cos(args_)], dim=1)
+    t_feat = lin(F.silu(lin(te, "t_mlp.0")), "t_mlp.2")
+    ycf = T(sd["y_cat_emb.weight"])[T(y_cat)]
+    yvf = lin(F.silu(lin(T(y_cont), "y_cont_mlp.0")), "y_cont_mlp.2")
+    y_feat = lin(F.silu(lin(torch.cat([ycf, yvf], dim=-1), "y_fuse.0")), "y_fuse.2")
+    cond = torch.cat([t_feat, y_feat], dim=-1)
+    h = lin(T(zt), "in_proj")
+    for i in range(nb):
+        hn = F.layer_norm(h, (width,), T(sd[f"blocks.{i}.norm.weight"]),
+                          T(sd[f"blocks.{i}.norm.bias"]), eps=1e-6)
+        gamma, beta = lin(cond, f"blocks.{i}.cond").chunk(2, dim=-1)
+        hn = hn * (1.0 + gamma) + beta
+        h = h + lin(F.silu(lin(hn, f"blocks.{i}.fc1")), f"blocks.{i}.fc2")
+    h = F.layer_norm(h, (width,), T(sd["out_norm.weight"]), T(sd["out_norm.bias"]),
+                     eps=1e-6)
+    ref = lin(h, "out_proj").numpy()
+
+    prior = DiffusionPriorFiLM(z_dim=z_dim, n_types=n_types, y_cont_dim=ycd,
+                               t_emb_dim=ted, width=width, n_blocks=nb,
+                               y_cat_emb_dim=yce)
+    params = flax_prior_params_from_torch_state_dict(sd)
+    ours = prior.apply({"params": params}, jnp.asarray(zt), jnp.asarray(tt),
+                       jnp.asarray(y_cat), jnp.asarray(y_cont))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_prior_trainer_consumes_pt_vae_and_prior(tmp_path, monkeypatch):
+    """End-to-end migration path: the prior trainer's --vae-ckpt and
+    --prior-ckpt accept reference .pt files (CLI hook)."""
+    import runpy
+
+    from toycrystals_tpu.models import CondVAE, DiffusionPriorFiLM
+    from toycrystals_tpu.utils.torch_interop import (
+        flax_prior_params_from_torch_state_dict,
+        flax_vae_params_from_torch_state_dict,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+    monkeypatch.syspath_prepend(scripts)
+
+    rng = np.random.default_rng(2)
+    z_dim, y_dim = 8, 8
+
+    def t(*shape, scale=0.05):
+        return rng.normal(size=shape).astype(np.float32) * scale
+
+    sd = {}
+    for i, (ci, co) in zip((0, 2, 4, 6), [(1, 32), (32, 64), (64, 128), (128, 256)]):
+        sd[f"enc.{i}.weight"], sd[f"enc.{i}.bias"] = t(co, ci, 4, 4), t(co)
+    sd["enc_fc.weight"], sd["enc_fc.bias"] = t(256, 256 * 16 + y_dim), t(256)
+    sd["mu.weight"], sd["mu.bias"] = t(z_dim, 256), t(z_dim)
+    sd["logvar.weight"], sd["logvar.bias"] = t(z_dim, 256), t(z_dim)
+    sd["dec_fc.weight"], sd["dec_fc.bias"] = t(256 * 16, z_dim + y_dim), t(256 * 16)
+    for i, (ci, co) in zip((0, 2, 4, 6), [(256, 128), (128, 64), (64, 32), (32, 1)]):
+        sd[f"dec.{i}.weight"], sd[f"dec.{i}.bias"] = t(ci, co, 4, 4), t(co)
+    # conversion sanity before the CLI consumes it
+    flax_vae_params_from_torch_state_dict(sd)
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, tmp_path / "vae_ref.pt")
+
+    def run(*flags):
+        monkeypatch.setattr(sys, "argv",
+                            ["train_diffusion_prior.py", "--device", "cpu", *map(str, flags)])
+        try:
+            runpy.run_path(f"{scripts}/train_diffusion_prior.py", run_name="__main__")
+        except SystemExit as e:
+            assert (e.code or 0) == 0
+
+    run("--procedural", "--max-items", 32, "--epochs", 1, "--width", 32,
+        "--z-dim", z_dim, "--T", 8, "--batch-size", 16, "--ddim-steps", 2,
+        "--latent-cache", "data/l.npz", "--vae-ckpt", str(tmp_path / "vae_ref.pt"))
+    assert (tmp_path / "checkpoints/diffusion_prior_last.msgpack").exists()
+
+    # reference-layout FiLM prior .pt consumed by --sample-only (note: the
+    # trainer hardcodes n_blocks=8 / y_cat_emb_dim=64 like the reference)
+    w = 32
+    psd = {
+        "y_cat_emb.weight": t(4, 64),
+        "y_cont_mlp.0.weight": t(64, 4), "y_cont_mlp.0.bias": t(64),
+        "y_cont_mlp.2.weight": t(64, 64), "y_cont_mlp.2.bias": t(64),
+        "y_fuse.0.weight": t(w, 128), "y_fuse.0.bias": t(w),
+        "y_fuse.2.weight": t(w, w), "y_fuse.2.bias": t(w),
+        "t_mlp.0.weight": t(w, 64), "t_mlp.0.bias": t(w),
+        "t_mlp.2.weight": t(w, w), "t_mlp.2.bias": t(w),
+        "in_proj.weight": t(w, z_dim), "in_proj.bias": t(w),
+        "out_norm.weight": 1 + t(w), "out_norm.bias": t(w),
+        "out_proj.weight": t(z_dim, w), "out_proj.bias": t(z_dim),
+    }
+    for i in range(8):
+        psd[f"blocks.{i}.norm.weight"] = 1 + t(w)
+        psd[f"blocks.{i}.norm.bias"] = t(w)
+        psd[f"blocks.{i}.fc1.weight"] = t(4 * w, w)
+        psd[f"blocks.{i}.fc1.bias"] = t(4 * w)
+        psd[f"blocks.{i}.fc2.weight"] = t(w, 4 * w)
+        psd[f"blocks.{i}.fc2.bias"] = t(w)
+        psd[f"blocks.{i}.cond.weight"] = t(2 * w, 2 * w)
+        psd[f"blocks.{i}.cond.bias"] = t(2 * w)
+    flax_prior_params_from_torch_state_dict(psd)
+    torch.save({k: torch.tensor(v) for k, v in psd.items()}, tmp_path / "prior_ref.pt")
+
+    run("--procedural", "--max-items", 32, "--width", w, "--z-dim", z_dim,
+        "--T", 8, "--ddim-steps", 2, "--latent-cache", "data/l.npz",
+        "--vae-ckpt", str(tmp_path / "vae_ref.pt"), "--sample-only",
+        "--prior-ckpt", str(tmp_path / "prior_ref.pt"))
+    assert (tmp_path / "results/diffusion_samples.png").exists()
+
+
+def test_vae_loader_rejects_wrong_pt(tmp_path):
+    from toycrystals_tpu.utils.torch_interop import (
+        load_torch_prior_checkpoint,
+        load_torch_vae_checkpoint,
+    )
+
+    p = tmp_path / "x.pt"
+    torch.save({"nope": torch.zeros(1)}, p)
+    with pytest.raises(ValueError, match="not a reference VAE checkpoint"):
+        load_torch_vae_checkpoint(str(p))
+    with pytest.raises(ValueError, match="not a reference FiLM-prior checkpoint"):
+        load_torch_prior_checkpoint(str(p))

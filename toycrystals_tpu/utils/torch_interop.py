@@ -132,11 +132,7 @@ def torch_state_dict_from_flax_params(params: Mapping[str, Any]) -> dict[str, np
     return sd
 
 
-def load_torch_score_checkpoint(path: str) -> dict:
-    """Load a reference `.pt` score-model checkpoint into our payload schema
-    `{"epoch_next", "state": {"params", "ema_params"}, "loss_hist", "config"}`
-    (what `sample_sde_score_model.py` consumes). Weights and config convert;
-    the torch Adam state does not (see module docstring)."""
+def _torch_load(path: str):
     try:
         import torch
     except ImportError as e:  # pragma: no cover - torch is in the image
@@ -144,11 +140,18 @@ def load_torch_score_checkpoint(path: str) -> dict:
             f"loading a .pt checkpoint ({path}) requires torch; install it or "
             "convert the checkpoint to msgpack first"
         ) from e
-
     try:
-        obj = torch.load(path, map_location="cpu", weights_only=True)
+        return torch.load(path, map_location="cpu", weights_only=True)
     except Exception:
-        obj = torch.load(path, map_location="cpu", weights_only=False)
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_torch_score_checkpoint(path: str) -> dict:
+    """Load a reference `.pt` score-model checkpoint into our payload schema
+    `{"epoch_next", "state": {"params", "ema_params"}, "loss_hist", "config"}`
+    (what `sample_sde_score_model.py` consumes). Weights and config convert;
+    the torch Adam state does not (see module docstring)."""
+    obj = _torch_load(path)
     if not isinstance(obj, dict) or "model" not in obj:
         raise ValueError(
             f"{path} is not a reference score-model checkpoint "
@@ -163,3 +166,131 @@ def load_torch_score_checkpoint(path: str) -> dict:
         "loss_hist": [float(v) for v in obj.get("loss_hist", [])],
         "config": dict(obj.get("config", {})),
     }
+
+
+# ---------------------------------------------------------------------------
+# VAE interop (`/root/reference/src/toycrystals/models/vae.py:8-134`; the
+# trainer saves a RAW state_dict per epoch, `train_vae.py:336`)
+# ---------------------------------------------------------------------------
+
+# The reference encoder ends at a 4x4x256 feature map (64x64 input,
+# `vae.py:18-27`); the flatten-order permutes below are specific to that.
+_VAE_C, _VAE_HW = 256, 4
+
+
+def _arr(t: Any) -> np.ndarray:
+    return np.asarray(
+        t.detach().cpu().numpy() if hasattr(t, "detach") else t, dtype=np.float32
+    )
+
+
+def flax_vae_params_from_torch_state_dict(sd: Mapping[str, Any]) -> dict:
+    """Reference CondVAE / VAE state_dict -> our flax param tree.
+
+    Beyond the usual layout transposes, two conversions are load-bearing:
+    - torch flattens the encoder feature map channel-major (C,H,W) before
+      `enc_fc` (`vae.py:51`) while our NHWC encoder flattens (H,W,C) — the
+      first 4096 input columns of enc_fc permute accordingly (any trailing
+      cond-vec columns pass through);
+    - `dec_fc` output is viewed as [256,4,4] (`vae.py:69`) vs our
+      [4,4,256] reshape — its output rows (and bias) permute;
+    - torch ConvTranspose2d(k4,s2,p1) weights [in,out,kh,kw] map to our
+      nn.ConvTranspose 'SAME' kernel as transpose(2,3,0,1) + spatial flip
+      (verified numerically in tests/test_torch_interop.py).
+    """
+    C, HW = _VAE_C, _VAE_HW
+    flat = C * HW * HW
+    params: dict = {"encoder": {}, "decoder": {}}
+
+    for i, t_idx in enumerate((0, 2, 4, 6)):
+        w = _arr(sd[f"enc.{t_idx}.weight"])
+        params["encoder"][f"Conv_{i}"] = {
+            "kernel": w.transpose(2, 3, 1, 0), "bias": _arr(sd[f"enc.{t_idx}.bias"])
+        }
+
+    w = _arr(sd["enc_fc.weight"])  # [256, flat + y_dim]
+    wf = w[:, :flat].reshape(-1, C, HW, HW).transpose(0, 2, 3, 1).reshape(-1, flat)
+    params["encoder"]["Dense_0"] = {
+        "kernel": np.concatenate([wf, w[:, flat:]], axis=1).T,
+        "bias": _arr(sd["enc_fc.bias"]),
+    }
+    for name in ("mu", "logvar"):
+        params["encoder"][name] = {
+            "kernel": _arr(sd[f"{name}.weight"]).T, "bias": _arr(sd[f"{name}.bias"])
+        }
+
+    w = _arr(sd["dec_fc.weight"])  # [flat, z(+y)]
+    b = _arr(sd["dec_fc.bias"])
+    w = w.reshape(C, HW, HW, -1).transpose(1, 2, 0, 3).reshape(flat, -1)
+    params["decoder"]["Dense_0"] = {
+        "kernel": w.T, "bias": b.reshape(C, HW, HW).transpose(1, 2, 0).reshape(flat)
+    }
+    for i, t_idx in enumerate((0, 2, 4, 6)):
+        w = _arr(sd[f"dec.{t_idx}.weight"])  # [in, out, kh, kw]
+        params["decoder"][f"ConvTranspose_{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1]),
+            "bias": _arr(sd[f"dec.{t_idx}.bias"]),
+        }
+    return params
+
+
+def load_torch_vae_checkpoint(path: str) -> dict:
+    """Reference `vae_last.pt` (raw state_dict) -> `{"params": tree}`, the
+    payload shape `train_diffusion_prior.py` consumes for the frozen VAE."""
+    obj = _torch_load(path)
+    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    if not isinstance(sd, Mapping) or "enc.0.weight" not in sd:
+        raise ValueError(
+            f"{path} is not a reference VAE checkpoint (expected a raw "
+            "CondVAE/VAE state_dict, /root/reference/scripts/train_vae.py:336)"
+        )
+    return {"params": flax_vae_params_from_torch_state_dict(sd)}
+
+
+# ---------------------------------------------------------------------------
+# FiLM latent-prior interop (`diffusion_prior.py:57-127`; raw state_dict
+# saved per epoch, `train_diffusion_prior.py:283`)
+# ---------------------------------------------------------------------------
+
+
+def flax_prior_params_from_torch_state_dict(sd: Mapping[str, Any]) -> dict:
+    """Reference DiffusionPriorFiLM state_dict -> our flax param tree.
+    Plain Linear/LayerNorm/Embedding layers — only the [out,in] -> [in,out]
+    transpose applies; block count is inferred from the keys."""
+    lin = lambda p: {"kernel": _arr(sd[f"{p}.weight"]).T, "bias": _arr(sd[f"{p}.bias"])}
+    ln = lambda p: {"scale": _arr(sd[f"{p}.weight"]), "bias": _arr(sd[f"{p}.bias"])}
+    params: dict = {
+        "Dense_0": lin("t_mlp.0"),
+        "Dense_1": lin("t_mlp.2"),
+        "Embed_0": {"embedding": _arr(sd["y_cat_emb.weight"])},
+        "Dense_2": lin("y_cont_mlp.0"),
+        "Dense_3": lin("y_cont_mlp.2"),
+        "Dense_4": lin("y_fuse.0"),
+        "Dense_5": lin("y_fuse.2"),
+        "in_proj": lin("in_proj"),
+        "out_norm": ln("out_norm"),
+        "out_proj": lin("out_proj"),
+    }
+    n_blocks = sum(1 for k in sd if k.endswith(".norm.weight") and k.startswith("blocks."))
+    for i in range(n_blocks):
+        params[f"block_{i}"] = {
+            "LayerNorm_0": ln(f"blocks.{i}.norm"),
+            "cond": lin(f"blocks.{i}.cond"),
+            "fc1": lin(f"blocks.{i}.fc1"),
+            "fc2": lin(f"blocks.{i}.fc2"),
+        }
+    return params
+
+
+def load_torch_prior_checkpoint(path: str) -> dict:
+    """Reference `diffusion_prior_last.pt` (raw state_dict) ->
+    `{"params": tree}` for the prior trainer's --resume / --sample-only."""
+    obj = _torch_load(path)
+    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    if not isinstance(sd, Mapping) or "in_proj.weight" not in sd:
+        raise ValueError(
+            f"{path} is not a reference FiLM-prior checkpoint (expected a raw "
+            "DiffusionPriorFiLM state_dict, "
+            "/root/reference/scripts/train_diffusion_prior.py:283)"
+        )
+    return {"params": flax_prior_params_from_torch_state_dict(sd)}
