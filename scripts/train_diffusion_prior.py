@@ -16,6 +16,7 @@ DDIM loop is one compiled lax.scan (`toycrystals_tpu.models.diffusion_prior`).
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import time
 
@@ -244,6 +245,13 @@ def main() -> int:
             bucket_sum = np.asarray(jnp.sum(stacked["bucket_sum"], axis=0))
             bucket_n = np.asarray(jnp.sum(stacked["bucket_n"], axis=0))
         dt = time.perf_counter() - t0
+        if not math.isfinite(avg):
+            # divergence guard: halt before the checkpoint write so the last
+            # finite-loss checkpoint survives (same policy as the SDE trainer)
+            raise SystemExit(
+                f"epoch {epoch + 1}: non-finite loss ({avg}) — training "
+                f"diverged; last good checkpoint kept at {args.prior_ckpt}."
+            )
         loss_hist.append(avg)
         print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
               f"({steps_per_epoch * args.batch_size / dt:.0f} z/s)")

@@ -16,6 +16,7 @@ from the compiled lax.scan samplers.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import time
 from datetime import datetime
@@ -364,6 +365,16 @@ def main() -> int:
                     losses.append(loss)
                 avg = float(jnp.mean(jnp.stack(losses)))
         dt = time.perf_counter() - t0
+        if not math.isfinite(avg):
+            # Divergence guard (new TPU scope — the reference trains on
+            # silently, `train_sde_score_model.py:212-247`): halt BEFORE the
+            # checkpoint write so the last finite-loss checkpoint survives;
+            # resume from it with a lower lr / different seed.
+            raise SystemExit(
+                f"epoch {epoch + 1}: non-finite loss ({avg}) — training "
+                f"diverged. Last good checkpoint kept at {ckpt_path} "
+                f"(epoch {epoch}); resume with --resume after lowering --lr."
+            )
         loss_hist.append(avg)
         ips = steps_per_epoch * args.batch_size / dt
         print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")

@@ -194,6 +194,13 @@ def main() -> int:
             )
         dt = time.perf_counter() - t0
         avg = {k: float(v) for k, v in stacked.items()}
+        if not math.isfinite(avg["loss"]):
+            # divergence guard: halt before the checkpoint write so the last
+            # finite-loss checkpoint survives (same policy as the SDE trainer)
+            raise SystemExit(
+                f"epoch {epoch + 1}: non-finite loss ({avg['loss']}) — "
+                f"training diverged; last good checkpoint kept at {ckpt_path}."
+            )
         loss_hist.append(avg["loss"])
         recon_hist.append(avg["recon"])
         kl_hist.append(avg["kl"])

@@ -166,3 +166,18 @@ def test_07_vae_resume(workdir):
     )
     assert "resumed from" in r.stdout
     assert "epoch 02/2" in r.stdout and "epoch 01" not in r.stdout
+
+
+def test_08_divergence_guard(workdir):
+    """A diverging run (absurd lr -> non-finite loss) halts with a clear
+    error instead of training on and overwriting checkpoints with NaNs
+    (new failure-detection scope; the reference trains on silently)."""
+    cmd = [sys.executable, str(SCRIPTS / "train_sde_score_model.py"),
+           "--device", "cpu", "--procedural", "--n-samples", "32",
+           "--epochs", "3", "--batch-size", "16", "--base-ch", "8",
+           "--emb-dim", "16", "--lr", "1e12", "--sample-every", "99",
+           "--out-dir", "runs/diverge"]
+    r = subprocess.run(cmd, cwd=workdir, env=ENV, capture_output=True,
+                       text=True, timeout=900)
+    assert r.returncode != 0
+    assert "diverged" in (r.stdout + r.stderr)
