@@ -397,3 +397,37 @@ def test_vae_loader_rejects_wrong_pt(tmp_path):
         load_torch_vae_checkpoint(str(p))
     with pytest.raises(ValueError, match="not a reference FiLM-prior checkpoint"):
         load_torch_prior_checkpoint(str(p))
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """export_torch_checkpoint.py writes a reference-layout .pt that
+    re-ingests bitwise-identically (msgpack -> .pt -> flax params)."""
+    from toycrystals_tpu.train import create_train_state
+    from toycrystals_tpu.utils import save_checkpoint
+    import optax
+
+    _, p = _init_params()
+    state = create_train_state(p, optax.adam(1e-4), ema=True)
+    ck = tmp_path / "m.msgpack"
+    save_checkpoint(str(ck), {
+        "epoch_next": 5, "state": state, "loss_hist": [0.3],
+        "config": {"base_ch": 8, "emb_dim": 16, "n_types": 4, "y_cont_dim": 4},
+    })
+    out = tmp_path / "m.pt"
+    scripts = Path(__file__).resolve().parent.parent / "scripts"
+    r = subprocess.run(
+        [sys.executable, str(scripts / "export_torch_checkpoint.py"),
+         "--ckpt", str(ck), "--out", str(out)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    back = load_torch_score_checkpoint(str(out))
+    assert back["epoch_next"] == 5
+    assert back["config"]["base_ch"] == 8
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p),
+        jax.tree_util.tree_leaves_with_path(back["state"]["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), b, err_msg=str(path))
+    assert back["state"]["ema_params"] is not None
