@@ -88,7 +88,10 @@ def main() -> int:
                         "step (f32 params, reference batch 128, EMA in-step).")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=None,
-                   help="default: 256 for sample, 128 for train")
+                   help="default: 256 for sample, 128 for train "
+                        "(use ~8 at --img-size 256 to stay under the "
+                        "tunnel's per-dispatch duration cap)")
+    p.add_argument("--img-size", type=int, default=64)
     p.add_argument("--base-ch", type=int, default=96)
     p.add_argument("--trace-dir", type=str, default="/tmp/sampler_trace")
     args = p.parse_args()
@@ -117,13 +120,13 @@ def main() -> int:
         model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
                              emb_dim=128)
         params = model.init(
-            jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+            jax.random.key(0), jnp.zeros((2, args.img_size, args.img_size, 1)), jnp.zeros((2,)),
             jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
         )["params"]
         tx = optax.adam(1e-4)
         step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1,
                                    t_power=1.0, ema_decay=0.999)
-        x0 = jax.random.uniform(jax.random.key(1), (b, 64, 64, 1))
+        x0 = jax.random.uniform(jax.random.key(1), (b, args.img_size, args.img_size, 1))
         state = create_train_state(params, tx, ema=True)
         state, loss = step(state, x0, y_cat, y_cont, jax.random.key(2))  # warm
         jax.block_until_ready(loss)
@@ -134,14 +137,14 @@ def main() -> int:
         model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
                              emb_dim=128, dtype=jnp.bfloat16)
         params = model.init(
-            jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+            jax.random.key(0), jnp.zeros((2, args.img_size, args.img_size, 1)), jnp.zeros((2,)),
             jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
         )["params"]
         apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
 
         def run(key):
             x = sample_reverse_sde_euler_maruyama(
-                apply_fn, params, sde, y_cat, y_cont, (b, 64, 64, 1), key,
+                apply_fn, params, sde, y_cat, y_cont, (b, args.img_size, args.img_size, 1), key,
                 n_steps=args.steps, guidance_scale=1.5, t_end=0.005,
             )
             return jnp.sum(x)
