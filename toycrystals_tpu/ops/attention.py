@@ -39,6 +39,38 @@ def gn_groups(ch: int) -> int:
 _FLASH_MAX_HEAD_DIM = 128  # the kernel supports head_dim <= one 128-lane tile
 
 
+def _largest_block(n: int, target: int) -> int:
+    """Largest power-of-two block <= target that divides the sequence length."""
+    b = target
+    while b > 128 and (b > n or n % b != 0):
+        b //= 2
+    return b
+
+
+def _flash_block_sizes(n: int):
+    """Measured block sizes for the non-causal spatial-attention shapes.
+
+    The library default (128x128 tiles, block_b=1) runs the 256x256-stretch
+    mid-block shape (B=24, H=4, N=4096, D=48) at 6.6 TFLOP/s — the grid
+    degenerates into ~10^5 tiny kernel steps whose DMA setup dominates.
+    Measured on v5e (benchmarks/bench_attention.py): 1024-wide q/k-major
+    tiles with 512-deep k minor blocks reach 47.9 TFLOP/s forward (7.3x).
+    Blocks are shrunk to divide shorter sequences.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq = _largest_block(n, 1024)
+    bk_major = _largest_block(n, 1024)
+    bk = min(_largest_block(n, 512), bk_major)
+    bq_dkv = min(_largest_block(n, 512), bq)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk_major, block_k=bk, block_b=1,
+        block_q_major_dkv=bq_dkv, block_q_dkv=bq_dkv,
+        block_k_major_dkv=bk_major, block_k_dkv=bk,
+        block_q_dq=bq, block_k_major_dq=bk_major, block_k_dq=bk,
+    )
+
+
 def _flash_sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Blockwise (flash) SDPA on [B, N, H, D] tensors, exact math."""
     from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
@@ -48,7 +80,8 @@ def _flash_sdpa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         raise ValueError(f"flash path supports head_dim <= 128, got {d}; use xla")
     # kernel layout is [B, H, N, D]
     q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-    o = flash_attention(q, k, v, causal=False, sm_scale=1.0 / math.sqrt(d))
+    o = flash_attention(q, k, v, causal=False, sm_scale=1.0 / math.sqrt(d),
+                        block_sizes=_flash_block_sizes(q.shape[2]))
     return o.transpose(0, 2, 1, 3)
 
 
