@@ -9,6 +9,8 @@ Measures, on the current backend:
   - sde_train:     images/sec, U-Net eps-loss train step batch 128
   - datagen:       on-device procedural dataset images/sec (Pallas/XLA raster)
   - ddim_prior:    latent DDIM-50 z/sec through the FiLM prior (width 1024)
+  - (--stretch)    datagen_256, sde_sampling_256, sde_train_256, and the
+    sharded / spatially-sharded configs when >1 device is visible
 
 Writes JSON to benchmarks/results.json and prints the table.
 All timings force completion via jax.device_get (block_until_ready does not
@@ -244,6 +246,12 @@ def main() -> int:
             p_dpm = REPO / f"assets/score_based_diffusion/dpm{steps}_samples.png"
             if p_dpm.exists():
                 grids[f"ours_dpm{steps}"] = (p_dpm, 64)
+        # higher-step DPM at 256 (does more solver steps close the gap?)
+        for steps in (100,):
+            p_dpm = (REPO / "assets/score_based_diffusion_256/"
+                     f"samples_256_vparam_dpm{steps}_cfg1.5_ema.png")
+            if p_dpm.exists():
+                grids[f"ours_256_vparam_dpm{steps}"] = (p_dpm, 256)
         fid = {}
         for name, (path, size) in grids.items():
             if not path.exists():
@@ -279,6 +287,32 @@ def main() -> int:
         results["sde_sampling_256"] = {"images_per_sec": round(b256 / dt, 2),
                                        "batch": b256, "steps": args.steps,
                                        "img_size": 256, "cfg": 1.5}
+
+        # 256x256 train step (stretch training config: batch 32, f32 params,
+        # bf16 compute, flash-attention fwd+bwd — the config the XLA SDPA
+        # path cannot compile at all, benchmarks/NOTES.md)
+        unet256 = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96,
+                               emb_dim=128, dtype=jnp.bfloat16)
+        u256params = unet256.init(key, jnp.zeros((2, 256, 256, 1)),
+                                  jnp.zeros((2,)), jnp.zeros((2,), jnp.int32),
+                                  jnp.zeros((2, 4)))["params"]
+        t256 = optax.adam(1e-4)
+        s256 = create_train_state(u256params, t256, ema=True)
+        step256 = make_sde_train_step(unet256, t256, sde, 4, 0.1, 1.0, 0.999)
+        tb256 = 32
+        x256 = jax.random.uniform(key, (tb256, 256, 256, 1))
+        yc256t, yv256t = sample_grid_conditions(tb256, 4, 4)
+
+        def train256_body(carry):
+            state, i = carry
+            state, _ = step256(state, x256, yc256t, yv256t,
+                               jax.random.fold_in(key, i))
+            return (state, i + 1)
+
+        dt = scan_timer(train256_body, (s256, jnp.int32(0)), n_lo=3, n_hi=9)
+        results["sde_train_256"] = {"images_per_sec": round(tb256 / dt, 2),
+                                    "batch": tb256, "img_size": 256,
+                                    "ema": True}
 
         # Sharded 4096-sample batch over every visible chip (v5e-8 config).
         if len(jax.devices()) > 1:
