@@ -63,6 +63,13 @@ def main() -> int:
                         "coherent 256x256 stretch samples — the raw "
                         "eps-parameterization's trajectories saturate there "
                         "(see benchmarks/NOTES.md).")
+    p.add_argument("--attn-impl", type=str, default="auto",
+                   choices=["auto", "xla", "flash"],
+                   help="Attention backend (same checkpoint weights work "
+                        "under either). auto = tuned Pallas flash kernel at "
+                        ">=2048 tokens — measured 1.33x faster than xla at "
+                        "256x256 sampling (0.71 vs 0.53 img/s); xla kept as "
+                        "a debug/fallback path — benchmarks/NOTES.md.")
     add_shard_flag(p, space=True)
 
     # fallback model config (only used if checkpoint has no config)
@@ -135,6 +142,7 @@ def main() -> int:
         base_ch=int(cfg["base_ch"]), emb_dim=int(cfg["emb_dim"]),
         cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        attn_impl=args.attn_impl,
     )
     state = payload["state"]
     params = state["params"]

@@ -64,7 +64,8 @@ def main() -> int:
                         "the end; 0 = end only).")
     add_shard_flag(p)
     p.add_argument("--sample-every", type=int, default=1,
-                   help="epochs between sample grids (reference samples every epoch)")
+                   help="epochs between sample grids (reference samples every "
+                        "epoch); 0 disables in-training grids")
     args = p.parse_args()
     select_device(args.device)
 
@@ -268,7 +269,9 @@ def main() -> int:
                            "beta_end": args.beta_end},
             })
 
-        if (epoch + 1) % args.sample_every == 0 or epoch == args.epochs - 1:
+        if args.sample_every > 0 and (
+            (epoch + 1) % args.sample_every == 0 or epoch == args.epochs - 1
+        ):
             save_samples("results/diffusion_samples.png")
 
         bucket_avg = bucket_sum / np.maximum(bucket_n, 1.0)

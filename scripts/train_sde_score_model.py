@@ -97,7 +97,9 @@ def main() -> int:
                    help="0 disables EMA. Typical: 0.999 or 0.9999")
 
     # Sampling during training
-    p.add_argument("--sample-every", type=int, default=10000)
+    p.add_argument("--sample-every", type=int, default=10000,
+                   help="Write a diagnostic sample grid every N epochs (and "
+                        "on the final epoch). 0 disables in-training grids.")
     p.add_argument("--sample-steps", type=int, default=200)
     p.add_argument("--cfg", type=float, default=0)
     p.add_argument("--t-end", type=float, default=1e-3)
@@ -112,6 +114,11 @@ def main() -> int:
                         "runs activations on the MXU at 2x peak FLOPs. "
                         "Default: float32, or the checkpoint's dtype on "
                         "--resume.")
+    p.add_argument("--attn-impl", type=str, default="auto",
+                   choices=["auto", "xla", "flash"],
+                   help="Attention backend. auto = Pallas flash kernel at "
+                        ">=2048 tokens (required to fit 256x256 training "
+                        "batches; tuned block sizes, benchmarks/NOTES.md).")
     p.add_argument("--fused-epoch", type=int, default=1, choices=[0, 1],
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
@@ -239,7 +246,7 @@ def main() -> int:
     model = CondUNetTiny(
         n_types=args.n_types, y_cont_dim=args.y_cont_dim, base_ch=args.base_ch,
         emb_dim=args.emb_dim, cond_ch=args.cond_ch, time_ch=args.time_ch,
-        dtype=comp_dtype,
+        dtype=comp_dtype, attn_impl=args.attn_impl,
     )
     sde = VPSDE(beta_min=args.beta_min, beta_max=args.beta_max,
                 logsnr_shift=args.logsnr_shift)
@@ -394,7 +401,9 @@ def main() -> int:
             )
         append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
 
-        if ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1):
+        if args.sample_every > 0 and (
+            ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1)
+        ):
             out_path = os.path.join(results_dir, f"sde_samples_epoch_{epoch + 1:03d}.png")
             # A transient backend failure in a diagnostic grid must not turn a
             # long completed run into a failure (checkpoint/metrics above are

@@ -102,11 +102,14 @@ def test_05_train_sde_and_sample(workdir):
     assert (workdir / "runs/t/results/sde_loss.png").exists()
     assert (workdir / "runs/t/results/sde_samples_epoch_002.png").exists()
 
-    # resume continues epoch numbering
+    # resume continues epoch numbering; --sample-every 0 disables in-training
+    # grids (regression: used to ZeroDivisionError); --attn-impl threads an
+    # explicit backend through the CLI
     r = run(
         "train_sde_score_model.py", "--procedural", "--n-samples", "128",
         "--epochs", "3", "--batch-size", "32", "--base-ch", "8",
         "--emb-dim", "16", "--ema-decay", "0.999", "--sample-steps", "3",
+        "--sample-every", "0", "--attn-impl", "xla",
         "--out-dir", "runs/t", "--resume", cwd=workdir,
     )
     assert "resumed from" in r.stdout

@@ -97,3 +97,28 @@ def test_torch_like_init_statistics():
             checked_norm = True
     assert checked_kernel and checked_emb and checked_norm
 
+
+
+def test_attn_impl_threads_through_unet():
+    """attn_impl is a compute-backend knob: the SAME checkpoint params run
+    under either backend and "xla" matches the default bitwise on CPU."""
+    import jax.numpy as jnp
+
+    from toycrystals_tpu.models import CondUNetTiny
+
+    kw = dict(n_types=4, y_cont_dim=4, base_ch=16, emb_dim=32)
+    x = jax.random.normal(K, (2, 16, 16, 1))
+    t = jnp.array([0.2, 0.8])
+    yc = jnp.array([0, 1], jnp.int32)
+    yv = jax.random.normal(jax.random.key(1), (2, 4))
+
+    m_auto = CondUNetTiny(**kw)
+    params = m_auto.init(K, x, t, yc, yv)["params"]
+    m_xla = CondUNetTiny(**kw, attn_impl="xla")
+    # identical param tree -> checkpoints are interchangeable across impls
+    assert jax.tree_util.tree_structure(
+        m_xla.init(K, x, t, yc, yv)["params"]
+    ) == jax.tree_util.tree_structure(params)
+    out_auto = m_auto.apply({"params": params}, x, t, yc, yv)
+    out_xla = m_xla.apply({"params": params}, x, t, yc, yv)
+    np.testing.assert_array_equal(np.asarray(out_xla), np.asarray(out_auto))

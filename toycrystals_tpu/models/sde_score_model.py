@@ -136,6 +136,11 @@ class CondUNetTiny(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conv_impl: str = "pad"  # see ops/conv.py: "pad" | "border" (measured slower on TPU)
     gn_impl: str = "xla"  # "xla" | "pallas" fused GN+SiLU(+pad) kernel in conv blocks
+    # "auto" = flash kernel at >=2048 tokens: its memory footprint is what
+    # makes 256x256 training compile, and with tuned block sizes it also
+    # beats xla for forward-only 256x256 sampling (0.71 vs 0.53 img/s,
+    # measured 12-img chunks x 300 steps) — benchmarks/NOTES.md.
+    attn_impl: str = "auto"  # "auto" | "xla" | "flash"
 
     @nn.compact
     def __call__(self, x_t: jax.Array, t: jax.Array, y_cat: jax.Array, y_cont: jax.Array):
@@ -173,7 +178,8 @@ class CondUNetTiny(nn.Module):
         hh = ds(h2, bc * 2, "ds2")                               # [B, H/4, W/4, 2bc]
 
         hh = block(hh, bc * 2, "mid")
-        hh = SelfAttention2d(num_heads=4, dtype=dt, name="attn")(hh)
+        hh = SelfAttention2d(num_heads=4, dtype=dt, attn_impl=self.attn_impl,
+                             name="attn")(hh)
 
         hh = us_conv(hh, bc * 2, "us2_conv")
         hh = block(jnp.concatenate([hh, h2], axis=-1), bc, "up2")
