@@ -60,15 +60,31 @@ def add_shard_flag(p, space: bool = False) -> None:
                  "outgrow one chip. Total devices = max(1,--shard) * N; "
                  "H/4 must divide by N. 0/1 = no spatial sharding.",
         )
+    p.add_argument(
+        "--shard-model", type=int, default=0,
+        help="Tensor parallelism: shard the weights' channel dimension "
+             "over N devices (2-D ('data','model') mesh; conv output "
+             "channels / dense columns / Adam moments each live 1/N per "
+             "chip, GSPMD inserts the channel all-gathers over ICI — "
+             "parallel/tensor.py). For scaling the model (base_ch / "
+             "--width) past one chip's HBM. Composes with --shard and "
+             "--shard-space (3-D ('data','space','model') mesh). Total "
+             "devices = max(1,--shard) * max(1,--shard-space) * N; channel "
+             "counts should divide by N. 0/1 = no tensor parallelism.",
+    )
 
 
 def setup_mesh(shard: int, *batch_sizes: int,
-               shard_space: int = 0, img_size: int | None = None):
-    """Resolve --shard [+ --shard-space] into a Mesh (None = single-device).
+               shard_space: int = 0, shard_model: int = 0,
+               img_size: int | None = None):
+    """Resolve --shard [+ --shard-space, --shard-model] into a Mesh
+    (None = single-device).
 
     Validates device availability and that every batch size divides over
     the 'data' axis so each device gets equal shards; with shard_space > 1
-    builds the 2-D ('data','space') mesh and checks H divisibility.
+    adds the 'space' axis (and checks H divisibility), with shard_model > 1
+    the 'model' axis; both together build the full 3-D
+    ('data','space','model') mesh — dp x sp x tp composed.
     """
     if shard < 0:
         raise SystemExit(f"--shard must be >= 0, got {shard}")
@@ -77,6 +93,32 @@ def setup_mesh(shard: int, *batch_sizes: int,
     for b in batch_sizes:
         if b % n_data:
             raise SystemExit(f"batch size {b} not divisible by --shard {shard}")
+    if shard_space > 1 and shard_model > 1:
+        from toycrystals_tpu.parallel import check_spatial_divisibility, make_mesh_3d
+
+        need = n_data * shard_space * shard_model
+        if need > n_dev:
+            raise SystemExit(
+                f"--shard {shard} x --shard-space {shard_space} x "
+                f"--shard-model {shard_model} needs {need} devices, "
+                f"have {n_dev}")
+        if img_size is not None:
+            try:
+                check_spatial_divisibility(img_size, shard_space)
+            except ValueError as e:
+                raise SystemExit(str(e))
+        print(f"3-D mesh: {n_data} data x {shard_space} space x "
+              f"{shard_model} model devices")
+        return make_mesh_3d(n_data, shard_space, shard_model)
+    if shard_model > 1:
+        from toycrystals_tpu.parallel import make_mesh_tp
+
+        if n_data * shard_model > n_dev:
+            raise SystemExit(
+                f"--shard {shard} x --shard-model {shard_model} needs "
+                f"{n_data * shard_model} devices, have {n_dev}")
+        print(f"2-D mesh: {n_data} data x {shard_model} model devices")
+        return make_mesh_tp(n_data, shard_model)
     if shard_space > 1:
         from toycrystals_tpu.parallel import check_spatial_divisibility, make_mesh_2d
 

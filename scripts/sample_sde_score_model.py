@@ -178,6 +178,7 @@ def main() -> int:
     # canonical 36-grid shards over 8 chips.
     img_size = int(cfg.get("img_size", 64))
     mesh = setup_mesh(args.shard, shard_space=getattr(args, "shard_space", 0),
+                      shard_model=getattr(args, "shard_model", 0),
                       img_size=img_size)
     sampler_fn = {
         "ode": sample_probability_flow_ode,

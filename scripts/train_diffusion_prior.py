@@ -63,6 +63,16 @@ def main() -> int:
                    help="Save the prior checkpoint every N epochs (always at "
                         "the end; 0 = end only).")
     add_shard_flag(p)
+    p.add_argument("--shard-pipe", type=int, default=0,
+                   help="Pipeline parallelism: place the prior's 8 FiLM "
+                        "blocks on N stages of a ('data','pipe') mesh and "
+                        "stream microbatches through them (shard_map + "
+                        "ppermute, parallel/pipeline.py). Composes with "
+                        "--shard; 8 must divide by N. 0/1 = off.")
+    p.add_argument("--pipe-micro", type=int, default=4,
+                   help="Microbatches per pipeline replica (bubble fraction "
+                        "= (stages-1)/(micro+stages-1)). batch-size must "
+                        "divide by max(1,--shard) * this.")
     p.add_argument("--sample-every", type=int, default=1,
                    help="epochs between sample grids (reference samples every "
                         "epoch); 0 disables in-training grids")
@@ -88,7 +98,29 @@ def main() -> int:
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
-    mesh = setup_mesh(args.shard, args.batch_size)
+    pipe = max(1, args.shard_pipe) if args.shard_pipe > 1 else 0
+    if pipe:
+        if getattr(args, "shard_model", 0) > 1:
+            raise SystemExit("--shard-pipe and --shard-model are mutually "
+                             "exclusive (pick one way to split the weights)")
+        if 8 % pipe:
+            raise SystemExit(f"--shard-pipe {pipe} must divide the prior's "
+                             "8 blocks")
+        n_data = max(1, args.shard)
+        if args.batch_size % (n_data * args.pipe_micro):
+            raise SystemExit(
+                f"batch size {args.batch_size} must divide by --shard "
+                f"{n_data} x --pipe-micro {args.pipe_micro}")
+        from toycrystals_tpu.parallel import make_mesh_pp
+
+        print(f"2-D mesh: {n_data} data x {pipe} pipe stages")
+        try:
+            mesh = make_mesh_pp(n_data, pipe)
+        except ValueError as e:
+            raise SystemExit(str(e))
+    else:
+        mesh = setup_mesh(args.shard, args.batch_size,
+                          shard_model=getattr(args, "shard_model", 0))
     if mesh is not None and args.sample_only:
         print("note: --shard only parallelises training; --sample-only runs "
               "on one device")
@@ -195,11 +227,39 @@ def main() -> int:
 
     prior_apply = lambda prm, z, t, yc, yv: prior.apply({"params": prm}, z, t, yc, yv)
 
+    if pipe:
+        # Pipeline layout: blocks stacked [stages, blocks/stage, ...] and
+        # stage-sharded over 'pipe' (so are the Adam moments); training AND
+        # DDIM sampling run through the pipelined forward. Checkpoints keep
+        # the flax layout (stack on load, unstack on save).
+        from toycrystals_tpu.parallel import (
+            make_pipeline_apply,
+            place_pipeline_state,
+            stack_pipeline_params,
+            unstack_pipeline_params,
+        )
+
+        # re-create the state so the Adam moments are born in (and shard
+        # with) the stacked layout
+        state = create_train_state(stack_pipeline_params(state.params, pipe), tx)
+        pipe_apply = make_pipeline_apply(mesh, args.pipe_micro,
+                                         t_emb_dim=args.t_emb_dim)
+
     def save_samples(out_path):
         yg_cat, yg_cont = sample_grid_conditions(36, args.n_types, args.y_cont_dim)
         key_s = jax.random.key(args.seed + 1)
-        z_norm = ddim_sample(prior_apply, state.params, sched, yg_cat, yg_cont,
-                             args.ddim_steps, vae_z_dim, key_s)
+        if pipe and 36 % (max(1, args.shard) * args.pipe_micro) == 0:
+            z_norm = ddim_sample(pipe_apply, state.params, sched, yg_cat, yg_cont,
+                                 args.ddim_steps, vae_z_dim, key_s)
+        elif pipe:
+            # grid batch doesn't divide the pipeline's microbatching —
+            # sample single-device from the unstacked weights instead
+            z_norm = ddim_sample(prior_apply, unstack_pipeline_params(state.params),
+                                 sched, yg_cat, yg_cont,
+                                 args.ddim_steps, vae_z_dim, key_s)
+        else:
+            z_norm = ddim_sample(prior_apply, state.params, sched, yg_cat, yg_cont,
+                                 args.ddim_steps, vae_z_dim, key_s)
         z = z_norm * z_std + z_mean  # un-standardise (`train_diffusion_prior.py:92-93`)
         x = vae_decode(z, yg_cat, yg_cont)
         save_image_grid(x, out_path, titles=type_titles(yg_cat))
@@ -209,18 +269,33 @@ def main() -> int:
         print("sample-only: saved results/diffusion_samples.png")
         return 0
 
-    from toycrystals_tpu.parallel import replicate, shard_batch
+    from toycrystals_tpu.parallel import replicate, shard_batch, shard_params, tp_coverage
 
-    state = replicate(mesh, state)
+    # mesh-aware placement: replicated on a 1-D data mesh; dense columns /
+    # embedding features / Adam moments sharded 1/N over 'model' on a
+    # ('data','model') mesh (parallel/tensor.py) — the width-1024 MLP is
+    # the most tensor-parallel-natural model in the framework; stage-sharded
+    # stacked blocks over 'pipe' on a pipeline mesh (parallel/pipeline.py).
+    if pipe:
+        state = place_pipeline_state(mesh, state)
+        train_apply = pipe_apply
+    else:
+        state = shard_params(mesh, state)
+        train_apply = None
+    if mesh is not None and "model" in mesh.axis_names:
+        cov = tp_coverage(mesh, state.params)
+        print(f"tensor parallelism: {cov:.0%} of param elements sharded"
+              + (" — check --width divides --shard-model" if cov < 0.5 else ""))
     if args.fused_epoch:
         # replicate the latent cache (closed over by the epoch program);
         # GSPMD shards the per-step gathered batches via the mesh
         z0_norm, y_cat, y_cont = replicate(mesh, (z0_norm, y_cat, y_cont))
         epoch_fn = make_prior_train_epoch(
-            prior, tx, args.T, args.batch_size, (z0_norm, y_cat, y_cont), mesh=mesh
+            prior, tx, args.T, args.batch_size, (z0_norm, y_cat, y_cont), mesh=mesh,
+            apply_fn=train_apply,
         )
     else:
-        step = make_prior_train_step(prior, tx, T=args.T)
+        step = make_prior_train_step(prior, tx, T=args.T, apply_fn=train_apply)
 
     loss_hist = []
     print("starting diffusion training loop.")
@@ -261,7 +336,8 @@ def main() -> int:
             epoch == args.epochs - 1
         ):
             save_checkpoint(args.prior_ckpt, {
-                "params": state.params,
+                "params": unstack_pipeline_params(state.params) if pipe
+                else state.params,
                 "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
                            "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
                            "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,

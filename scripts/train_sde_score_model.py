@@ -151,7 +151,7 @@ def main() -> int:
     import optax
 
     from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
-    from toycrystals_tpu.parallel import replicate, shard_batch
+    from toycrystals_tpu.parallel import replicate, shard_batch, shard_params, tp_coverage
     from toycrystals_tpu.models import (
         CondUNetTiny,
         VPSDE,
@@ -215,6 +215,7 @@ def main() -> int:
 
     mesh = setup_mesh(args.shard, args.batch_size,
                       shard_space=getattr(args, "shard_space", 0),
+                      shard_model=getattr(args, "shard_model", 0),
                       img_size=args.img_size)
 
     # --- data ---
@@ -310,7 +311,13 @@ def main() -> int:
         if start_epoch > 0:
             print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
 
-    state = replicate(mesh, state)
+    # tp-aware placement: full replication on data/space meshes, channel
+    # sharding over 'model' on a tensor-parallel mesh (parallel/tensor.py).
+    state = shard_params(mesh, state)
+    if mesh is not None and "model" in mesh.axis_names:
+        cov = tp_coverage(mesh, state.params)
+        print(f"tensor parallelism: {cov:.0%} of param elements sharded"
+              + (" — check base_ch divides --shard-model" if cov < 0.5 else ""))
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
     if args.param == "v":

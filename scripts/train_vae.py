@@ -68,7 +68,7 @@ def main() -> int:
     import optax
 
     from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
-    from toycrystals_tpu.parallel import replicate, shard_batch
+    from toycrystals_tpu.parallel import replicate, shard_batch, shard_params, tp_coverage
     from toycrystals_tpu.models import CondVAE, VAE
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
     from toycrystals_tpu.train import (
@@ -86,7 +86,8 @@ def main() -> int:
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
-    mesh = setup_mesh(args.shard, args.batch_size)
+    mesh = setup_mesh(args.shard, args.batch_size,
+                      shard_model=getattr(args, "shard_model", 0))
 
     # --- data source ---
     procedural = args.procedural or not args.data_path
@@ -152,7 +153,14 @@ def main() -> int:
         kl_hist = _aslist(hists.get("kl", []))
         klr_hist = _aslist(hists.get("kl_raw", []))
         print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
-    state = replicate(mesh, state)
+    # tp-aware placement: replicated on a 1-D data mesh; conv output
+    # channels / dense columns / Adam moments sharded 1/N over 'model' on
+    # a ('data','model') mesh (parallel/tensor.py).
+    state = shard_params(mesh, state)
+    if mesh is not None and "model" in mesh.axis_names:
+        cov = tp_coverage(mesh, state.params)
+        print(f"tensor parallelism: {cov:.0%} of param elements sharded"
+              + (" — check channel counts divide --shard-model" if cov < 0.5 else ""))
     if args.fused_epoch:
         epoch_fn = make_vae_train_epoch(
             model, tx, args.free_bits, args.batch_size, n_items, uncond=args.uncond,

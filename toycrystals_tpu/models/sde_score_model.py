@@ -631,9 +631,11 @@ def sample_chunked(
     chunk = -(-chunk // m) * m  # round up to a mesh multiple
 
     if mesh is not None:
-        from toycrystals_tpu.parallel import data_sharding, replicate
+        from toycrystals_tpu.parallel import data_sharding, shard_params
 
-        params = replicate(mesh, params)
+        # Full replication on data/spatial meshes; channel-sharded over
+        # 'model' on a tensor-parallel mesh (parallel/tensor.py).
+        params = shard_params(mesh, params)
 
     def pad(a, k):
         return a if k == 0 else jnp.concatenate(

@@ -10,6 +10,21 @@ from toycrystals_tpu.parallel.spatial import (
     image_sharding,
     check_spatial_divisibility,
 )
+from toycrystals_tpu.parallel.tensor import (
+    make_mesh_tp,
+    make_mesh_3d,
+    tp_sharding,
+    shard_params,
+    tp_coverage,
+)
+from toycrystals_tpu.parallel.pipeline import (
+    make_mesh_pp,
+    stack_pipeline_params,
+    unstack_pipeline_params,
+    place_pipeline_state,
+    pipeline_apply,
+    make_pipeline_apply,
+)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +35,15 @@ __all__ = [
     "make_mesh_2d",
     "image_sharding",
     "check_spatial_divisibility",
+    "make_mesh_tp",
+    "make_mesh_3d",
+    "tp_sharding",
+    "shard_params",
+    "tp_coverage",
+    "make_mesh_pp",
+    "stack_pipeline_params",
+    "unstack_pipeline_params",
+    "place_pipeline_state",
+    "pipeline_apply",
+    "make_pipeline_apply",
 ]

@@ -71,14 +71,22 @@ def make_vae_train_step(
     return step
 
 
-def make_prior_train_step(model, tx: optax.GradientTransformation, T: int) -> Callable:
+def make_prior_train_step(model, tx: optax.GradientTransformation, T: int,
+                          apply_fn: Callable | None = None) -> Callable:
     """Returns step(state, z0n, y_cat, y_cont, key) -> (state, metrics).
 
     metrics include per-t-bucket sums/counts for the reference's 4-bucket
     diagnostic (`train_diffusion_prior.py:242-270`); the caller accumulates
     them across batches and divides once per epoch.
+
+    `apply_fn(params, z_t, t, y_cat, y_cont)` overrides `model.apply` — the
+    hook that trains the prior through the pipeline-parallel forward
+    (parallel/pipeline.py), whose params are the stacked stage layout.
     """
     from toycrystals_tpu.models.diffusion_prior import DiffusionSchedule
+
+    if apply_fn is None:
+        apply_fn = lambda p, z_t, t, yc, yv: model.apply({"params": p}, z_t, t, yc, yv)
 
     def loss_fn(params, sched: DiffusionSchedule, z0n, y_cat, y_cont, key):
         b = z0n.shape[0]
@@ -87,7 +95,7 @@ def make_prior_train_step(model, tx: optax.GradientTransformation, T: int) -> Ca
         t = jnp.clip((u**2 * T).astype(jnp.int32), 0, T - 1)  # small-t bias (`:254-256`)
         eps = jax.random.normal(k_eps, z0n.shape, z0n.dtype)
         z_t = sched.q_sample(z0n, t, eps)
-        eps_pred = model.apply({"params": params}, z_t, t, y_cat, y_cont)
+        eps_pred = apply_fn(params, z_t, t, y_cat, y_cont)
         per = jnp.mean((eps_pred - eps) ** 2, axis=1)  # [B]
         loss = jnp.mean(per)
         q = jnp.clip((t.astype(jnp.float32) / T * 4).astype(jnp.int32), 0, 3)
@@ -258,6 +266,7 @@ def make_prior_train_epoch(
     batch_size: int,
     latents: tuple,
     mesh=None,
+    apply_fn: Callable | None = None,
 ) -> Callable:
     """A whole latent-prior training epoch as one compiled program (the
     reference dispatches per batch, `train_diffusion_prior.py:240-277`).
@@ -270,7 +279,7 @@ def make_prior_train_epoch(
     Returns epoch_fn(state, sched, key) -> (state, {loss, bucket_sum, bucket_n}).
     """
     z0n, y_cat_all, y_cont_all = latents
-    step_fn = make_prior_train_step(model, tx, T)
+    step_fn = make_prior_train_step(model, tx, T, apply_fn=apply_fn)
 
     def run_batch(state, idx, key, sched):
         batch = (z0n[idx], y_cat_all[idx], y_cont_all[idx])
