@@ -39,7 +39,7 @@ def select_device(device: str) -> str:
     return device
 
 
-def add_shard_flag(p, space: bool = False) -> None:
+def add_shard_flag(p, space: bool = False, train: bool = True) -> None:
     """--shard N: GSPMD data parallelism over the first N devices."""
     p.add_argument(
         "--shard", type=int, default=0,
@@ -72,6 +72,17 @@ def add_shard_flag(p, space: bool = False) -> None:
              "devices = max(1,--shard) * max(1,--shard-space) * N; channel "
              "counts should divide by N. 0/1 = no tensor parallelism.",
     )
+    if train:
+        p.add_argument(
+            "--fsdp", action="store_true",
+            help="ZeRO-3 placement: with --shard N, also shard every "
+                 "weight (and its Adam moments / EMA) 1/N over the 'data' "
+                 "axis — each chip holds 1/N of the train state and GSPMD "
+                 "inserts the just-in-time weight all-gathers / gradient "
+                 "reduce-scatters over ICI (parallel/fsdp.py). Composes "
+                 "with --shard-model (2-D weight sharding). No effect "
+                 "without --shard >= 2.",
+        )
 
 
 def setup_mesh(shard: int, *batch_sizes: int,
@@ -141,6 +152,41 @@ def setup_mesh(shard: int, *batch_sizes: int,
 
     print(f"data-parallel mesh: {shard} devices")
     return make_mesh(shard)
+
+
+def place_state(mesh, state, fsdp: bool = False, what: str = "channel counts"):
+    """Mesh-aware train-state placement shared by the three trainers.
+
+    - mesh=None: passthrough;
+    - data / spatial meshes: full replication — unless `fsdp`, which shards
+      every weight + Adam moment + EMA 1/N over 'data' (parallel/fsdp.py,
+      ZeRO-3);
+    - ('data','model') meshes: channel sharding over 'model'
+      (parallel/tensor.py), composed with the fsdp rule when both are on.
+
+    Prints the sharded-element coverage for tp/fsdp so an indivisible config
+    (pure replication overhead) is visible instead of a silent no-op.
+    """
+    from toycrystals_tpu.parallel import (
+        fsdp_coverage,
+        shard_params,
+        shard_params_fsdp,
+        tp_coverage,
+    )
+
+    if mesh is None:
+        return state
+    if fsdp and "data" in mesh.axis_names and dict(mesh.shape)["data"] > 1:
+        state = shard_params_fsdp(mesh, state)
+        print(f"fsdp: {fsdp_coverage(mesh, state.params):.0%} of param "
+              "elements sharded over 'data'")
+    else:
+        state = shard_params(mesh, state)
+    if "model" in mesh.axis_names:
+        cov = tp_coverage(mesh, state.params)
+        print(f"tensor parallelism: {cov:.0%} of param elements sharded"
+              + (f" — check {what} divide --shard-model" if cov < 0.5 else ""))
+    return state
 
 
 class ResidentDiskDataset:

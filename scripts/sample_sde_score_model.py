@@ -70,7 +70,7 @@ def main() -> int:
                         ">=2048 tokens — measured 1.33x faster than xla at "
                         "256x256 sampling (0.71 vs 0.53 img/s); xla kept as "
                         "a debug/fallback path — benchmarks/NOTES.md.")
-    add_shard_flag(p, space=True)
+    add_shard_flag(p, space=True, train=False)
 
     # fallback model config (only used if checkpoint has no config)
     p.add_argument("--n-types", type=int, default=4)

@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-from _common import ResidentDiskDataset, add_shard_flag, select_device, setup_mesh  # noqa: E402
+from _common import ResidentDiskDataset, add_shard_flag, place_state, select_device, setup_mesh  # noqa: E402
 
 
 def main() -> int:
@@ -73,6 +73,24 @@ def main() -> int:
                    help="Microbatches per pipeline replica (bubble fraction "
                         "= (stages-1)/(micro+stages-1)). batch-size must "
                         "divide by max(1,--shard) * this.")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="Train the mixture-of-experts prior instead of the "
+                        "dense FiLM prior: E switch-routed expert MLPs per "
+                        "block, routed on the (t, y) conditioning "
+                        "(models/moe_prior.py — new TPU scope, no reference "
+                        "counterpart). 0 = dense. Resume/sample-only need "
+                        "the same value the checkpoint was trained with "
+                        "(recorded in its config).")
+    p.add_argument("--moe-aux-weight", type=float, default=0.01,
+                   help="Weight of the switch load-balancing auxiliary loss "
+                        "(only with --moe-experts).")
+    p.add_argument("--shard-expert", type=int, default=0,
+                   help="Expert parallelism: shard the MoE prior's stacked "
+                        "experts (and their Adam moments) over N devices of "
+                        "a ('data','expert') mesh; the per-block combine is "
+                        "one psum over ICI (parallel/expert.py). Requires "
+                        "--moe-experts divisible by N; composes with "
+                        "--shard. 0/1 = off.")
     p.add_argument("--sample-every", type=int, default=1,
                    help="epochs between sample grids (reference samples every "
                         "epoch); 0 disables in-training grids")
@@ -99,6 +117,19 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
     pipe = max(1, args.shard_pipe) if args.shard_pipe > 1 else 0
+    ep = args.shard_expert if args.shard_expert > 1 else 0
+    if ep and pipe:
+        raise SystemExit("--shard-expert and --shard-pipe are mutually "
+                         "exclusive (pick one way to split the blocks)")
+    if ep and getattr(args, "shard_model", 0) > 1:
+        raise SystemExit("--shard-expert and --shard-model are mutually "
+                         "exclusive (pick one way to split the weights)")
+    if ep and (args.moe_experts <= 0 or args.moe_experts % ep):
+        raise SystemExit(f"--shard-expert {ep} requires --moe-experts "
+                         f"divisible by it (got {args.moe_experts})")
+    if args.moe_experts and pipe:
+        raise SystemExit("--moe-experts does not support --shard-pipe "
+                         "(the pipelined forward is the dense FiLM prior)")
     if pipe:
         if getattr(args, "shard_model", 0) > 1:
             raise SystemExit("--shard-pipe and --shard-model are mutually "
@@ -116,6 +147,18 @@ def main() -> int:
         print(f"2-D mesh: {n_data} data x {pipe} pipe stages")
         try:
             mesh = make_mesh_pp(n_data, pipe)
+        except ValueError as e:
+            raise SystemExit(str(e))
+    elif ep:
+        from toycrystals_tpu.parallel import make_mesh_ep
+
+        n_data = max(1, args.shard)
+        if args.batch_size % n_data:
+            raise SystemExit(f"batch size {args.batch_size} not divisible "
+                             f"by --shard {args.shard}")
+        print(f"2-D mesh: {n_data} data x {ep} expert devices")
+        try:
+            mesh = make_mesh_ep(n_data, ep)
         except ValueError as e:
             raise SystemExit(str(e))
     else:
@@ -202,10 +245,21 @@ def main() -> int:
     n_items = int(z0_norm.shape[0])
 
     # --- prior + schedule (`train_diffusion_prior.py:196-212`) ---
-    prior = DiffusionPriorFiLM(
-        z_dim=vae_z_dim, n_types=args.n_types, y_cont_dim=args.y_cont_dim,
-        t_emb_dim=args.t_emb_dim, width=args.width, n_blocks=8, y_cat_emb_dim=64,
-    )
+    if args.moe_experts > 0:
+        from toycrystals_tpu.models import DiffusionPriorMoE
+
+        print(f"MoE prior: {args.moe_experts} experts/block "
+              f"(aux weight {args.moe_aux_weight})")
+        prior = DiffusionPriorMoE(
+            z_dim=vae_z_dim, n_types=args.n_types, y_cont_dim=args.y_cont_dim,
+            n_experts=args.moe_experts, t_emb_dim=args.t_emb_dim,
+            width=args.width, n_blocks=8, y_cat_emb_dim=64,
+        )
+    else:
+        prior = DiffusionPriorFiLM(
+            z_dim=vae_z_dim, n_types=args.n_types, y_cont_dim=args.y_cont_dim,
+            t_emb_dim=args.t_emb_dim, width=args.width, n_blocks=8, y_cat_emb_dim=64,
+        )
     sched = DiffusionSchedule.linear(args.T, args.beta_start, args.beta_end)
 
     params = prior.init(
@@ -269,23 +323,28 @@ def main() -> int:
         print("sample-only: saved results/diffusion_samples.png")
         return 0
 
-    from toycrystals_tpu.parallel import replicate, shard_batch, shard_params, tp_coverage
+    from toycrystals_tpu.parallel import replicate, shard_batch
 
-    # mesh-aware placement: replicated on a 1-D data mesh; dense columns /
-    # embedding features / Adam moments sharded 1/N over 'model' on a
-    # ('data','model') mesh (parallel/tensor.py) — the width-1024 MLP is
-    # the most tensor-parallel-natural model in the framework; stage-sharded
+    # mesh-aware placement: replicated on a 1-D data mesh (1/N-sharded
+    # with --fsdp); dense columns / embedding features / Adam moments
+    # sharded 1/N over 'model' on a ('data','model') mesh
+    # (parallel/tensor.py) — the width-1024 MLP is the most
+    # tensor-parallel-natural model in the framework; stage-sharded
     # stacked blocks over 'pipe' on a pipeline mesh (parallel/pipeline.py).
     if pipe:
         state = place_pipeline_state(mesh, state)
         train_apply = pipe_apply
-    else:
-        state = shard_params(mesh, state)
+    elif mesh is not None and "expert" in mesh.axis_names:
+        from toycrystals_tpu.parallel import ep_coverage, place_expert_state
+
+        state = place_expert_state(mesh, state, args.moe_experts)
+        print(f"expert parallelism: "
+              f"{ep_coverage(mesh, state.params, args.moe_experts):.0%} of "
+              "param elements sharded over 'expert'")
         train_apply = None
-    if mesh is not None and "model" in mesh.axis_names:
-        cov = tp_coverage(mesh, state.params)
-        print(f"tensor parallelism: {cov:.0%} of param elements sharded"
-              + (" — check --width divides --shard-model" if cov < 0.5 else ""))
+    else:
+        state = place_state(mesh, state, fsdp=args.fsdp, what="--width")
+        train_apply = None
     if args.fused_epoch:
         # replicate the latent cache (closed over by the epoch program);
         # GSPMD shards the per-step gathered batches via the mesh
@@ -293,9 +352,12 @@ def main() -> int:
         epoch_fn = make_prior_train_epoch(
             prior, tx, args.T, args.batch_size, (z0_norm, y_cat, y_cont), mesh=mesh,
             apply_fn=train_apply,
+            aux_weight=args.moe_aux_weight if args.moe_experts else 0.0,
         )
     else:
-        step = make_prior_train_step(prior, tx, T=args.T, apply_fn=train_apply)
+        step = make_prior_train_step(
+            prior, tx, T=args.T, apply_fn=train_apply,
+            aux_weight=args.moe_aux_weight if args.moe_experts else 0.0)
 
     loss_hist = []
     print("starting diffusion training loop.")
@@ -342,7 +404,8 @@ def main() -> int:
                            "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
                            "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
                            "T": args.T, "beta_start": args.beta_start,
-                           "beta_end": args.beta_end},
+                           "beta_end": args.beta_end,
+                           "n_experts": args.moe_experts},
             })
 
         if args.sample_every > 0 and (

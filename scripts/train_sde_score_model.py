@@ -23,7 +23,7 @@ from datetime import datetime
 
 import numpy as np
 
-from _common import ResidentDiskDataset, add_shard_flag, select_device, setup_mesh  # noqa: E402
+from _common import ResidentDiskDataset, add_shard_flag, place_state, select_device, setup_mesh  # noqa: E402
 
 
 def _make_run_name(args) -> str:
@@ -151,7 +151,7 @@ def main() -> int:
     import optax
 
     from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
-    from toycrystals_tpu.parallel import replicate, shard_batch, shard_params, tp_coverage
+    from toycrystals_tpu.parallel import replicate, shard_batch
     from toycrystals_tpu.models import (
         CondUNetTiny,
         VPSDE,
@@ -311,13 +311,9 @@ def main() -> int:
         if start_epoch > 0:
             print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
 
-    # tp-aware placement: full replication on data/space meshes, channel
-    # sharding over 'model' on a tensor-parallel mesh (parallel/tensor.py).
-    state = shard_params(mesh, state)
-    if mesh is not None and "model" in mesh.axis_names:
-        cov = tp_coverage(mesh, state.params)
-        print(f"tensor parallelism: {cov:.0%} of param elements sharded"
-              + (" — check base_ch divides --shard-model" if cov < 0.5 else ""))
+    # mesh-aware placement: replication / tp channel sharding / --fsdp
+    # ZeRO-3 (scripts/_common.py place_state).
+    state = place_state(mesh, state, fsdp=args.fsdp, what="base_ch")
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
     if args.param == "v":

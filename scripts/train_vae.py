@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-from _common import ResidentDiskDataset, add_shard_flag, select_device, setup_mesh  # noqa: E402
+from _common import ResidentDiskDataset, add_shard_flag, place_state, select_device, setup_mesh  # noqa: E402
 
 
 def main() -> int:
@@ -68,7 +68,7 @@ def main() -> int:
     import optax
 
     from toycrystals_tpu.data import LatticeConfig, generate_batch, batch_iterator
-    from toycrystals_tpu.parallel import replicate, shard_batch, shard_params, tp_coverage
+    from toycrystals_tpu.parallel import replicate, shard_batch
     from toycrystals_tpu.models import CondVAE, VAE
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
     from toycrystals_tpu.train import (
@@ -153,14 +153,9 @@ def main() -> int:
         kl_hist = _aslist(hists.get("kl", []))
         klr_hist = _aslist(hists.get("kl_raw", []))
         print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
-    # tp-aware placement: replicated on a 1-D data mesh; conv output
-    # channels / dense columns / Adam moments sharded 1/N over 'model' on
-    # a ('data','model') mesh (parallel/tensor.py).
-    state = shard_params(mesh, state)
-    if mesh is not None and "model" in mesh.axis_names:
-        cov = tp_coverage(mesh, state.params)
-        print(f"tensor parallelism: {cov:.0%} of param elements sharded"
-              + (" — check channel counts divide --shard-model" if cov < 0.5 else ""))
+    # mesh-aware placement: replication / tp channel sharding / --fsdp
+    # ZeRO-3 (scripts/_common.py place_state).
+    state = place_state(mesh, state, fsdp=args.fsdp)
     if args.fused_epoch:
         epoch_fn = make_vae_train_epoch(
             model, tx, args.free_bits, args.batch_size, n_items, uncond=args.uncond,

@@ -5,6 +5,7 @@ from toycrystals_tpu.models.diffusion_prior import (
     DiffusionSchedule,
     timestep_embedding_discrete,
 )
+from toycrystals_tpu.models.moe_prior import DiffusionPriorMoE, MoEFiLMResBlock
 from toycrystals_tpu.models.sde_score_model import (
     CondUNetTiny,
     ConditionEmbedding,
@@ -26,6 +27,8 @@ __all__ = [
     "kl_stats",
     "DiffusionPrior",
     "DiffusionPriorFiLM",
+    "DiffusionPriorMoE",
+    "MoEFiLMResBlock",
     "DiffusionSchedule",
     "timestep_embedding_discrete",
     "CondUNetTiny",

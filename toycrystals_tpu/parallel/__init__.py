@@ -17,6 +17,17 @@ from toycrystals_tpu.parallel.tensor import (
     shard_params,
     tp_coverage,
 )
+from toycrystals_tpu.parallel.expert import (
+    make_mesh_ep,
+    expert_sharding,
+    place_expert_state,
+    ep_coverage,
+)
+from toycrystals_tpu.parallel.fsdp import (
+    fsdp_sharding,
+    shard_params_fsdp,
+    fsdp_coverage,
+)
 from toycrystals_tpu.parallel.pipeline import (
     make_mesh_pp,
     stack_pipeline_params,
@@ -40,6 +51,13 @@ __all__ = [
     "tp_sharding",
     "shard_params",
     "tp_coverage",
+    "make_mesh_ep",
+    "expert_sharding",
+    "place_expert_state",
+    "ep_coverage",
+    "fsdp_sharding",
+    "shard_params_fsdp",
+    "fsdp_coverage",
     "make_mesh_pp",
     "stack_pipeline_params",
     "unstack_pipeline_params",

@@ -72,7 +72,8 @@ def make_vae_train_step(
 
 
 def make_prior_train_step(model, tx: optax.GradientTransformation, T: int,
-                          apply_fn: Callable | None = None) -> Callable:
+                          apply_fn: Callable | None = None,
+                          aux_weight: float = 0.0) -> Callable:
     """Returns step(state, z0n, y_cat, y_cont, key) -> (state, metrics).
 
     metrics include per-t-bucket sums/counts for the reference's 4-bucket
@@ -82,9 +83,16 @@ def make_prior_train_step(model, tx: optax.GradientTransformation, T: int,
     `apply_fn(params, z_t, t, y_cat, y_cont)` overrides `model.apply` — the
     hook that trains the prior through the pipeline-parallel forward
     (parallel/pipeline.py), whose params are the stacked stage layout.
+
+    `aux_weight > 0` (MoE prior, models/moe_prior.py): apply with the
+    'losses' collection mutable, sum the sown per-block load-balancing aux
+    terms, and add `aux_weight * mean(aux)` to the loss (reported in
+    metrics as 'aux'). Incompatible with a custom apply_fn.
     """
     from toycrystals_tpu.models.diffusion_prior import DiffusionSchedule
 
+    if aux_weight and apply_fn is not None:
+        raise ValueError("aux_weight requires the default model.apply path")
     if apply_fn is None:
         apply_fn = lambda p, z_t, t, yc, yv: model.apply({"params": p}, z_t, t, yc, yv)
 
@@ -95,13 +103,22 @@ def make_prior_train_step(model, tx: optax.GradientTransformation, T: int,
         t = jnp.clip((u**2 * T).astype(jnp.int32), 0, T - 1)  # small-t bias (`:254-256`)
         eps = jax.random.normal(k_eps, z0n.shape, z0n.dtype)
         z_t = sched.q_sample(z0n, t, eps)
-        eps_pred = apply_fn(params, z_t, t, y_cat, y_cont)
+        aux = 0.0
+        if aux_weight:
+            eps_pred, mut = model.apply({"params": params}, z_t, t, y_cat, y_cont,
+                                        mutable=["losses"])
+            terms = jax.tree.leaves(mut.get("losses", {}))
+            if terms:
+                aux = sum(jnp.mean(v) for v in terms) / len(terms)
+        else:
+            eps_pred = apply_fn(params, z_t, t, y_cat, y_cont)
         per = jnp.mean((eps_pred - eps) ** 2, axis=1)  # [B]
-        loss = jnp.mean(per)
+        loss = jnp.mean(per) + aux_weight * aux
         q = jnp.clip((t.astype(jnp.float32) / T * 4).astype(jnp.int32), 0, 3)
         bucket_sum = jnp.zeros(4).at[q].add(per)
         bucket_n = jnp.zeros(4).at[q].add(1.0)
-        return loss, {"loss": loss, "bucket_sum": bucket_sum, "bucket_n": bucket_n}
+        return loss, {"loss": loss, "bucket_sum": bucket_sum, "bucket_n": bucket_n,
+                      "aux": jnp.asarray(aux, jnp.float32)}
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, sched, z0n, y_cat, y_cont, key):
@@ -267,6 +284,7 @@ def make_prior_train_epoch(
     latents: tuple,
     mesh=None,
     apply_fn: Callable | None = None,
+    aux_weight: float = 0.0,
 ) -> Callable:
     """A whole latent-prior training epoch as one compiled program (the
     reference dispatches per batch, `train_diffusion_prior.py:240-277`).
@@ -279,7 +297,8 @@ def make_prior_train_epoch(
     Returns epoch_fn(state, sched, key) -> (state, {loss, bucket_sum, bucket_n}).
     """
     z0n, y_cat_all, y_cont_all = latents
-    step_fn = make_prior_train_step(model, tx, T, apply_fn=apply_fn)
+    step_fn = make_prior_train_step(model, tx, T, apply_fn=apply_fn,
+                                    aux_weight=aux_weight)
 
     def run_batch(state, idx, key, sched):
         batch = (z0n[idx], y_cat_all[idx], y_cont_all[idx])
