@@ -22,6 +22,31 @@ import sys
 import time
 
 
+def _backend_reachable(tries: int, timeout_s: float = 150.0,
+                       gap_s: float = 120.0) -> bool:
+    """True once a subprocess can init the default backend AND run one tiny
+    dispatch within timeout_s. Retries `tries` times, sleeping gap_s between
+    failures (worker recovery is ~5-10 min)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+            "print('ok')")
+    for i in range(tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=timeout_s)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+            msg = (r.stderr or "")[-200:]
+        except subprocess.TimeoutExpired:
+            msg = f"device init still blocked after {timeout_s:.0f}s"
+        print(f"backend probe {i + 1}/{tries} failed: {msg}", file=sys.stderr)
+        if i + 1 < tries:
+            time.sleep(gap_s)
+    return False
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
@@ -34,7 +59,28 @@ def main() -> int:
     p.add_argument("--peak-tflops", type=float, default=197.0,
                    help="Chip peak dense TFLOP/s for the MFU/speed-of-light "
                         "context fields (default: v5e bf16 peak).")
+    p.add_argument("--probe-tries", type=int, default=4,
+                   help="Backend watchdog attempts before giving up (the "
+                        "tunneled TPU worker needs ~5-10 min to recover "
+                        "after a hung client; 0 skips the probe).")
     args = p.parse_args()
+
+    # Backend watchdog: a pinned TPU worker makes jax.devices() block
+    # FOREVER in C++ (observed: a hung client left the tunnel dead and a
+    # prior bench slept 25 min at 0% CPU). Probe in a subprocess with a hard
+    # timeout and retry across the worker's recovery window, so the driver
+    # always gets the one JSON line instead of a hang.
+    if args.probe_tries > 0 and not _backend_reachable(args.probe_tries):
+        print(json.dumps({
+            "metric": "64x64_samples_per_sec_per_chip_300step_reverse_sde_cfg",
+            "value": None,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "error": "accelerator backend unreachable (device init timed out "
+                     f"{args.probe_tries}x; tunneled TPU worker likely pinned "
+                     "— see CLAUDE.md)",
+        }))
+        return 1
 
     import jax
     import jax.numpy as jnp

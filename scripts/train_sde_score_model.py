@@ -119,6 +119,14 @@ def main() -> int:
                    help="Attention backend. auto = Pallas flash kernel at "
                         ">=2048 tokens (required to fit 256x256 training "
                         "batches; tuned block sizes, benchmarks/NOTES.md).")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="Gradient accumulation: split each batch into N "
+                        "sequential chunks inside the compiled step (one "
+                        "lax.scan) — peak activation HBM scales 1/N while "
+                        "the update stays numerically the full-batch step "
+                        "(randomness drawn once per batch). The memory "
+                        "lever for 256x256 training. batch-size must "
+                        "divide by N (and by N x --shard together).")
     p.add_argument("--fused-epoch", type=int, default=1, choices=[0, 1],
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
@@ -217,6 +225,11 @@ def main() -> int:
                       shard_space=getattr(args, "shard_space", 0),
                       shard_model=getattr(args, "shard_model", 0),
                       img_size=args.img_size)
+    if args.grad_accum < 1:
+        raise SystemExit(f"--grad-accum must be >= 1, got {args.grad_accum}")
+    if args.batch_size % args.grad_accum:
+        raise SystemExit(f"batch size {args.batch_size} not divisible by "
+                         f"--grad-accum {args.grad_accum}")
 
     # --- data ---
     img_size = args.img_size
@@ -276,11 +289,12 @@ def main() -> int:
             resident=None if procedural else (ds.x_u8, ds.y_cat, ds.y_cont),
             mesh=mesh,
             parameterization=args.param,
+            grad_accum=args.grad_accum,
         )
     else:
         step = make_sde_train_step(
             model, tx, sde, args.n_types, args.p_uncond, args.t_power,
-            args.ema_decay, args.param,
+            args.ema_decay, args.param, args.grad_accum,
         )
         _get_batch = get_batch
         get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))

@@ -210,3 +210,61 @@ def test_prior_fused_epoch_buckets_aggregate():
     # every training sample lands in exactly one bucket, summed over the epoch
     assert float(jnp.sum(m["bucket_n"])) == 5 * 8
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sde_grad_accum_matches_unsplit():
+    """--grad-accum k is numerically the unsplit step: the randomness is
+    drawn once for the full batch (draw_diffusion_loss_noise) and chunk
+    grads average exactly to the batch grad (equal chunk sizes)."""
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x, ycat, ycont = _fake_batch(b=8)
+    params = model.init(K, x, jnp.zeros((8,)), ycat, ycont)["params"]
+    tx = optax.sgd(1e-2)  # linear in grads: update-equality is exact-ish
+    sde = VPSDE(0.1, 30.0)
+
+    step1 = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1, t_power=1.0,
+                                ema_decay=0.5)
+    step4 = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1, t_power=1.0,
+                                ema_decay=0.5, grad_accum=4)
+
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), tx, ema=True)
+    s4 = create_train_state(jax.tree.map(jnp.copy, params), tx, ema=True)
+    for i in range(2):
+        k = jax.random.fold_in(K, i)
+        s1, l1 = step1(s1, x, ycat, ycont, k)
+        s4, l4 = step4(s4, x, ycat, ycont, k)
+    np.testing.assert_allclose(float(l1), float(l4), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.ema_params), jax.tree.leaves(s4.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sde_grad_accum_sharded_matches():
+    """grad-accum composes with the data-parallel mesh: each scanned chunk
+    stays batch-sharded over 'data' and numerics still match."""
+    from toycrystals_tpu.parallel import data_sharding, make_mesh, replicate
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x, ycat, ycont = _fake_batch(b=16)
+    params = model.init(K, x, jnp.zeros((16,)), ycat, ycont)["params"]
+    tx = optax.sgd(1e-2)
+    sde = VPSDE(0.1, 30.0)
+    step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.0, t_power=1.0,
+                               ema_decay=0.0, grad_accum=2)
+
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    s1, l1 = step(s1, x, ycat, ycont, K)
+
+    mesh = make_mesh(8)
+    s2 = replicate(mesh, create_train_state(jax.tree.map(jnp.copy, params), tx))
+    s2, l2 = step(s2,
+                  jax.device_put(x, data_sharding(mesh, 4)),
+                  jax.device_put(ycat, data_sharding(mesh, 1)),
+                  jax.device_put(ycont, data_sharding(mesh, 2)), K)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

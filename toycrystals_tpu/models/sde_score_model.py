@@ -267,25 +267,59 @@ def diffusion_loss_eps(
       eps = sigma*x_t + alpha*v) bounded at every t. Wrap a v-model for the
       eps-based samplers with `eps_apply_from_v`.
     """
-    if parameterization not in ("eps", "v"):
-        raise ValueError(f"parameterization must be eps|v, got {parameterization}")
+    t, eps, y_cat, y_cont = draw_diffusion_loss_noise(
+        x0, y_cat, y_cont, key, n_types, p_uncond, t_power)
+    return diffusion_loss_eps_given(
+        apply_fn, params, sde, x0, y_cat, y_cont, t, eps, parameterization)
+
+
+def draw_diffusion_loss_noise(
+    x0: jax.Array,
+    y_cat: jax.Array,
+    y_cont: jax.Array,
+    key: jax.Array,
+    n_types: int,
+    p_uncond: float = 0.1,
+    t_power: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """The randomness half of `diffusion_loss_eps`: per-sample timesteps,
+    noise, and CFG-dropped conditioning, for the whole batch. Split out so
+    gradient accumulation (train/steps.py) can draw ONCE for the full batch
+    and scan chunks of (t, eps) — making `--grad-accum k` numerically
+    identical to the unsplit step, not merely equal in distribution."""
     b = x0.shape[0]
     k_t, k_eps, k_drop = jax.random.split(key, 3)
-
-    x0 = x0 * 2.0 - 1.0
     u = jax.random.uniform(k_t, (b,))
     t = u ** float(t_power)  # t_power > 1 biases towards small t
-
     eps = jax.random.normal(k_eps, x0.shape, x0.dtype)
-    a = sde.alpha(t).reshape(b, 1, 1, 1)
-    s = sde.sigma(t).reshape(b, 1, 1, 1)
-    x_t = a * x0 + s * eps
-
     if p_uncond > 0.0:
         drop = jax.random.uniform(k_drop, (b,)) < p_uncond
         y_cat = jnp.where(drop, n_types, y_cat)  # null token (`:390-396`)
         y_cont = jnp.where(drop[:, None], 0.0, y_cont)
+    return t, eps, y_cat, y_cont
 
+
+def diffusion_loss_eps_given(
+    apply_fn: Callable[..., jax.Array],
+    params: Any,
+    sde: VPSDE,
+    x0: jax.Array,
+    y_cat: jax.Array,
+    y_cont: jax.Array,
+    t: jax.Array,
+    eps: jax.Array,
+    parameterization: str = "eps",
+) -> jax.Array:
+    """The deterministic half of `diffusion_loss_eps`: perturb with the GIVEN
+    (t, eps) and return the MSE. x0 raw in [0,1] (mapped to [-1,1] here);
+    conditioning already CFG-dropped."""
+    if parameterization not in ("eps", "v"):
+        raise ValueError(f"parameterization must be eps|v, got {parameterization}")
+    b = x0.shape[0]
+    x0 = x0 * 2.0 - 1.0
+    a = sde.alpha(t).reshape(b, 1, 1, 1)
+    s = sde.sigma(t).reshape(b, 1, 1, 1)
+    x_t = a * x0 + s * eps
     pred = apply_fn(params, x_t, t, y_cat, y_cont)
     target = eps if parameterization == "eps" else a * eps - s * x0
     return jnp.mean((pred - target) ** 2)
