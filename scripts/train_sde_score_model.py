@@ -119,6 +119,16 @@ def main() -> int:
                    help="Attention backend. auto = Pallas flash kernel at "
                         ">=2048 tokens (required to fit 256x256 training "
                         "batches; tuned block sizes, benchmarks/NOTES.md).")
+    p.add_argument("--lr-schedule", type=str, default="constant",
+                   choices=["constant", "cosine"],
+                   help="LR schedule (new scope; the reference is constant): "
+                        "cosine = warmup to --lr then cosine decay to 1% "
+                        "over the run, stepped per optimizer update and "
+                        "resume-exact (the schedule reads the opt_state "
+                        "count).")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="Linear LR warmup steps (works with either "
+                        "--lr-schedule).")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="Gradient accumulation: split each batch into N "
                         "sequential chunks inside the compiled step (one "
@@ -276,7 +286,25 @@ def main() -> int:
         from toycrystals_tpu.models.torch_init import torch_like_init
 
         params = torch_like_init(jax.random.fold_in(key, 7), params)
-    tx = optax.adam(args.lr)
+    if args.lr_schedule == "cosine":
+        # warmup -> cosine decay over the whole run, stepped per optimizer
+        # update (the schedule rides the opt_state count, so --resume
+        # continues exactly where it left off). New TPU scope — the
+        # reference trains at constant LR (`train_sde_score_model.py:210`).
+        total_steps = max(args.epochs * (n_items // args.batch_size), 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=args.lr,
+            warmup_steps=min(args.warmup_steps, total_steps),
+            decay_steps=total_steps, end_value=args.lr * 0.01)
+        print(f"lr schedule: cosine (peak {args.lr:g}, "
+              f"{args.warmup_steps} warmup of {total_steps} steps)")
+    else:
+        lr = args.lr
+        if args.warmup_steps:
+            lr = optax.linear_schedule(0.0, args.lr, args.warmup_steps)
+            print(f"lr schedule: constant {args.lr:g} after "
+                  f"{args.warmup_steps} warmup steps")
+    tx = optax.adam(lr)
     if args.ema_decay != 0.0 and not (0.0 < args.ema_decay < 1.0):
         raise ValueError("--ema-decay must be in (0,1) or 0 to disable.")
     state = create_train_state(params, tx, ema=args.ema_decay > 0.0)

@@ -184,3 +184,25 @@ def test_08_divergence_guard(workdir):
                        text=True, timeout=900)
     assert r.returncode != 0
     assert "diverged" in (r.stdout + r.stderr)
+
+
+def test_09_lr_schedule_and_grad_accum(workdir):
+    """--lr-schedule cosine + --warmup-steps + --grad-accum run end-to-end
+    and resume continues under the schedule (it reads the opt_state count,
+    so restart is exact)."""
+    r = run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "1", "--batch-size", "16", "--base-ch", "8",
+        "--emb-dim", "16", "--sample-every", "99",
+        "--lr-schedule", "cosine", "--warmup-steps", "2", "--grad-accum", "2",
+        "--out-dir", "runs/lrs", cwd=workdir,
+    )
+    assert "lr schedule: cosine" in r.stdout
+    r = run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "2", "--batch-size", "16", "--base-ch", "8",
+        "--emb-dim", "16", "--sample-every", "99",
+        "--lr-schedule", "cosine", "--warmup-steps", "2", "--grad-accum", "2",
+        "--out-dir", "runs/lrs", "--resume", cwd=workdir,
+    )
+    assert "resumed from" in r.stdout and "epoch 002/2" in r.stdout
