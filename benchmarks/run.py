@@ -67,11 +67,11 @@ def main() -> int:
                    help="batch for the sharded stretch run (v5e-8 config)")
     p.add_argument("--only", type=str, default="",
                    help="comma list of sections to run (default all): "
-                        "sde,ode,dpm,vae,sde_train,datagen,ddim,fidelity")
+                        "sde,ode,dpm,fewstep,vae,sde_train,datagen,ddim,fidelity")
     args = p.parse_args()
     only = {s for s in args.only.split(",") if s}
-    sections = {"sde", "ode", "dpm", "vae", "sde_train", "datagen", "ddim",
-                "fidelity"}
+    sections = {"sde", "ode", "dpm", "fewstep", "vae", "sde_train", "datagen",
+                "ddim", "fidelity"}
     if unknown := only - sections:
         p.error(f"unknown --only section(s) {sorted(unknown)}; choose from {sorted(sections)}")
 
@@ -96,6 +96,7 @@ def main() -> int:
         DiffusionPriorFiLM,
         DiffusionSchedule,
         VPSDE,
+        sample_ddim,
         sample_dpmpp_2m,
         sample_probability_flow_ode,
         sample_reverse_sde_euler_maruyama,
@@ -115,7 +116,7 @@ def main() -> int:
     # --- SDE / ODE sampling (bf16 compute) ---
     b = args.sample_batch
     sde = VPSDE(0.1, 30.0)
-    if want("sde") or want("ode") or want("dpm") or args.stretch:
+    if want("sde") or want("ode") or want("dpm") or want("fewstep") or args.stretch:
         unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
                             dtype=jnp.bfloat16)
         uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
@@ -148,6 +149,21 @@ def main() -> int:
             n_steps=50, guidance_scale=1.5, t_end=0.005), key, repeats=2)
         results["dpm_sampling"] = {"images_per_sec": round(b / dt, 2),
                                    "batch": b, "steps": 50, "cfg": 1.5}
+
+    if want("fewstep"):
+        # Progressive-distilled serving path (scripts/distill_sde_score_model
+        # .py): N single-pass DDIM evals per image with the guidance baked in
+        # — no CFG batch doubling. Throughput is weight-independent; quality
+        # per step count is the committed fidelity table (see the
+        # ours_distill* fidelity rows + assets/FIGURES.md).
+        for n_steps in (8, 4, 2, 1):
+            dt = timeit(lambda k, ns=n_steps: sample_ddim(
+                uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+                n_steps=ns, guidance_scale=0.0, t_end=0.005, prediction="v"),
+                key, repeats=3)
+            results[f"ddim_distilled_{n_steps}step"] = {
+                "images_per_sec": round(b / dt, 2), "batch": b,
+                "steps": n_steps, "cfg": "baked"}
 
     # --- VAE train step ---
     tb = args.train_batch
@@ -246,6 +262,11 @@ def main() -> int:
             p_dpm = REPO / f"assets/score_based_diffusion/dpm{steps}_samples.png"
             if p_dpm.exists():
                 grids[f"ours_dpm{steps}"] = (p_dpm, 64)
+        # progressive-distilled few-step grids, once committed
+        for steps in (64, 32, 16, 8, 4, 2, 1):
+            p_d = REPO / f"assets/score_based_diffusion/distill_{steps}step.png"
+            if p_d.exists():
+                grids[f"ours_distill{steps}"] = (p_d, 64)
         # higher-step DPM at 256 (does more solver steps close the gap?)
         for steps in (100,):
             p_dpm = (REPO / "assets/score_based_diffusion_256/"

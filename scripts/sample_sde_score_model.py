@@ -42,11 +42,16 @@ def main() -> int:
     p.add_argument("--n", type=int, default=36)
     p.add_argument("--use-ema", type=int, default=0, choices=[0, 1],
                    help="If checkpoint has EMA weights, sample using them.")
-    p.add_argument("--sampler", type=str, default="ode", choices=["ode", "sde", "dpm"],
+    p.add_argument("--sampler", type=str, default="ode",
+                   choices=["ode", "sde", "dpm", "ddim"],
                    help="ode = prob-flow Heun, sde = reverse-SDE Euler-Maruyama "
                         "(the reference's two samplers); dpm = DPM-Solver++(2M), "
                         "a 2nd-order multistep ODE solver that needs far fewer "
-                        "steps (new TPU scope; try --steps 30-50).")
+                        "steps (new TPU scope; try --steps 30-50); ddim = "
+                        "deterministic DDIM, exactly --steps net evals — the "
+                        "sampler for progressive-distilled checkpoints "
+                        "(scripts/distill_sde_score_model.py; those bake the "
+                        "guidance in, so run with --cfg 0).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk", type=int, default=None,
                    help="Max images per compiled dispatch. Large batches are "
@@ -103,6 +108,7 @@ def main() -> int:
         VPSDE,
         auto_chunk,
         sample_chunked,
+        sample_ddim,
         sample_dpmpp_2m,
         sample_probability_flow_ode,
         sample_reverse_sde_euler_maruyama,
@@ -165,11 +171,33 @@ def main() -> int:
         )
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
-    if str(cfg.get("param", "eps")) == "v":
+    extra_kw = {}
+    if args.sampler == "ddim":
+        # ddim consumes the raw net output (static `prediction` arg) — the v
+        # path computes x0 = alpha*x - sigma*v directly, which is the only
+        # well-conditioned route at the t=1 evals a 1-4 step student makes
+        extra_kw["prediction"] = str(cfg.get("param", "eps"))
+    elif str(cfg.get("param", "eps")) == "v":
         # v-prediction checkpoint: adapt to the eps-space the samplers expect
         from toycrystals_tpu.models import eps_apply_from_v
 
         apply_fn = eps_apply_from_v(sde, apply_fn)
+    if cfg.get("distilled"):
+        # a distilled student is grid-committed: default the step count and
+        # t_end to what it was trained for, and its guidance is baked in
+        if args.steps == p.get_default("steps"):
+            args.steps = int(cfg.get("distill_steps", args.steps))
+            print(f"distilled checkpoint: --steps defaulting to {args.steps}")
+        if args.t_end == p.get_default("t_end"):
+            args.t_end = float(cfg.get("distill_t_end", args.t_end))
+        if args.sampler != "ddim":
+            print(f"NOTE: checkpoint was distilled for the ddim sampler at "
+                  f"{cfg.get('distill_steps')} steps; --sampler {args.sampler} "
+                  "will work but wastes the distillation")
+        if args.cfg > 0:
+            print(f"NOTE: guidance {cfg.get('distill_cfg')} is baked into this "
+                  f"distilled checkpoint; --cfg {args.cfg} applies guidance ON "
+                  "TOP of that (use --cfg 0 for the trained behaviour)")
     y_cat, y_cont = sample_grid_conditions(
         args.n, int(cfg["n_types"]), int(cfg["y_cont_dim"]), args.theta_max
     )
@@ -184,6 +212,7 @@ def main() -> int:
         "ode": sample_probability_flow_ode,
         "sde": sample_reverse_sde_euler_maruyama,
         "dpm": sample_dpmpp_2m,
+        "ddim": sample_ddim,
     }[args.sampler]
     chunk = args.chunk
     if chunk is None:
@@ -203,7 +232,7 @@ def main() -> int:
         (args.n, img_size, img_size, 1), jax.random.key(args.seed),
         chunk=chunk, mesh=mesh, n_steps=args.steps,
         guidance_scale=args.cfg, t_end=args.t_end, n_types=int(cfg["n_types"]),
-        clip_x0=bool(args.clip_x0), **sp_kw,
+        clip_x0=bool(args.clip_x0), **sp_kw, **extra_kw,
     )
     side = int(math.ceil(math.sqrt(args.n)))
     save_image_grid(

@@ -1,0 +1,305 @@
+"""Progressive distillation (train/distill.py) + few-step DDIM sampler tests.
+
+New TPU scope — no reference counterpart. Contracts verified:
+- the PD target formula exactly inverts the one-step DDIM map;
+- the v identities round-trip (x0, eps) at every t including t=1;
+- sample_ddim runs exactly n_steps evals, deterministic given the key,
+  and the eps/v paths agree away from t=1 with the same underlying model;
+- a perfect teacher makes the v-space distillation loss (near) zero when the
+  student IS the teacher one phase down on an analytic-Gaussian score;
+- the distill train step donates + updates; the fused epoch runs; data
+  sharding over the virtual 8-device mesh matches single-device numerics;
+- the CLI runs end-to-end at tiny scale (teacher train -> 2 distill phases
+  -> scored grids -> sampling the distilled checkpoint via --sampler ddim).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from toycrystals_tpu.models import CondUNetTiny, VPSDE, sample_ddim
+from toycrystals_tpu.models.sde_score_model import _quadratic_grid
+from toycrystals_tpu.train import create_train_state
+from toycrystals_tpu.train.distill import (
+    ddim_step_from_raw,
+    make_distill_train_epoch,
+    make_distill_train_step,
+    pd_target_x0,
+)
+
+K = jax.random.key(0)
+
+
+def _tiny():
+    u = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x = jnp.zeros((4, 16, 16, 1))
+    params = u.init(K, x, jnp.zeros((4,)), jnp.zeros((4,), jnp.int32),
+                    jnp.zeros((4, 4)))["params"]
+    apply_fn = lambda p, xt, t, yc, yv: u.apply({"params": p}, xt, t, yc, yv)
+    return u, apply_fn, params
+
+
+def test_quadratic_grids_nest():
+    """grid(2N)[2i] == grid(N)[i] — the teacher's half-steps land exactly on
+    the student's grid points (what makes phase chaining consistent)."""
+    for n in (1, 2, 8, 64):
+        gs = _quadratic_grid(n, 0.005)
+        gt = _quadratic_grid(2 * n, 0.005)
+        np.testing.assert_allclose(np.asarray(gt[::2]), np.asarray(gs),
+                                   rtol=0, atol=1e-7)
+
+
+def test_pd_target_inverts_ddim_step():
+    """pd_target_x0 recovers the exact x0 that generated x_next by one
+    DDIM step (the defining property of the distillation target)."""
+    sde = VPSDE(0.1, 30.0)
+    b = 8
+    k1, k2, k3 = jax.random.split(K, 3)
+    x_t = jax.random.normal(k1, (b, 16, 16, 1))
+    x0_true = jnp.clip(jax.random.normal(k2, (b, 16, 16, 1)), -1, 1)
+    t = jax.random.uniform(k3, (b,), minval=0.05, maxval=1.0)
+    t_next = t * 0.7
+    a_t = sde.alpha(t).reshape(b, 1, 1, 1)
+    s_t = sde.sigma(t).reshape(b, 1, 1, 1)
+    a_n = sde.alpha(t_next).reshape(b, 1, 1, 1)
+    s_n = sde.sigma(t_next).reshape(b, 1, 1, 1)
+    eps_implied = (x_t - a_t * x0_true) / s_t
+    x_next = a_n * x0_true + s_n * eps_implied
+    got = pd_target_x0(sde, x_t, t, t_next, x_next)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x0_true),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_v_identities_roundtrip_at_t1():
+    """x0 = alpha*x - sigma*v recovers x0 EXACTLY at t=1 where the eps form
+    (x - sigma*eps)/alpha catastrophically cancels in f32."""
+    sde = VPSDE(0.1, 30.0)
+    b = 4
+    x0 = jax.random.uniform(K, (b, 8, 8, 1), minval=-1, maxval=1)
+    eps = jax.random.normal(jax.random.key(1), x0.shape)
+    t = jnp.ones((b,))
+    a = sde.alpha(t).reshape(b, 1, 1, 1)
+    s = sde.sigma(t).reshape(b, 1, 1, 1)
+    x_t = a * x0 + s * eps
+    v = a * eps - s * x0
+    x0_v = a * x_t - s * v
+    np.testing.assert_allclose(np.asarray(x0_v), np.asarray(x0),
+                               rtol=1e-4, atol=1e-4)
+    # a v-model wrapped to eps-space then projected back to x0 — the route
+    # sample_ddim(prediction="v") exists to avoid — cancels:
+    # x_t - s*eps_hat = x_t*(1 - s^2) - s*a*v rounds the O(a^2)=3e-7 data
+    # component in f32 before the /a ~ 5e-4 amplifies it (measured ~7000x
+    # the v route's error on this construction)
+    eps_hat = s * x_t + a * v
+    x0_eps = (x_t - s * eps_hat) / jnp.clip(a, min=1e-6)
+    err_v = float(jnp.max(jnp.abs(x0_v - x0)))
+    err_e = float(jnp.max(jnp.abs(x0_eps - x0)))
+    assert err_e > 100 * max(err_v, 1e-9), (err_e, err_v)
+
+
+def test_ddim_step_from_raw_eps_v_agree():
+    """The alpha-ratio (eps) and identity (v) step forms compute the same
+    x_next when fed consistent raw outputs."""
+    sde = VPSDE(0.1, 30.0)
+    b = 4
+    x_t = jax.random.normal(K, (b, 8, 8, 1))
+    eps = jax.random.normal(jax.random.key(1), x_t.shape)
+    t = jnp.full((b,), 0.6)
+    t_next = jnp.full((b,), 0.4)
+    a = sde.alpha(t).reshape(b, 1, 1, 1)
+    s = sde.sigma(t).reshape(b, 1, 1, 1)
+    x0 = (x_t - s * eps) / a
+    v = a * eps - s * x0
+    x_e = ddim_step_from_raw(sde, x_t, t, t_next, eps, "eps")
+    x_v = ddim_step_from_raw(sde, x_t, t, t_next, v, "v")
+    np.testing.assert_allclose(np.asarray(x_e), np.asarray(x_v),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sample_ddim_shapes_and_determinism():
+    _, apply_fn, params = _tiny()
+    sde = VPSDE(0.1, 30.0)
+    ycat = jnp.arange(6, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((6, 4))
+    for n_steps in (1, 2, 4):
+        x1 = sample_ddim(apply_fn, params, sde, ycat, ycont, (6, 16, 16, 1),
+                         jax.random.key(3), n_steps=n_steps, prediction="eps")
+        x2 = sample_ddim(apply_fn, params, sde, ycat, ycont, (6, 16, 16, 1),
+                         jax.random.key(3), n_steps=n_steps, prediction="eps")
+        assert x1.shape == (6, 16, 16, 1)
+        assert float(x1.min()) >= 0.0 and float(x1.max()) <= 1.0
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_sample_ddim_cfg_doubles_are_affine():
+    """guidance on sample_ddim uses the affine combine on raw outputs:
+    cfg=0 equals a plain conditional rollout."""
+    _, apply_fn, params = _tiny()
+    sde = VPSDE(0.1, 30.0)
+    ycat = jnp.arange(4, dtype=jnp.int32) % 4
+    ycont = jnp.zeros((4, 4))
+    x0 = sample_ddim(apply_fn, params, sde, ycat, ycont, (4, 16, 16, 1),
+                     jax.random.key(5), n_steps=2, guidance_scale=0.0)
+    x1 = sample_ddim(apply_fn, params, sde, ycat, ycont, (4, 16, 16, 1),
+                     jax.random.key(5), n_steps=2, guidance_scale=1.0)
+    # cfg=1.0 is eps_u + 1.0*(eps_c-eps_u) == eps_c: same rollout
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1),
+                               rtol=1e-4, atol=1e-4)
+
+
+class _AnalyticScore:
+    """Exact eps for x0 ~ N(0, c^2 I): eps*(x,t) = x / sqrt(alpha^2 c^2 + sigma^2) * sigma...
+    For the VP marginal x_t = a x0 + s eps with x0 ~ N(0, c^2), x_t ~ N(0, a^2 c^2 + s^2)
+    and E[eps | x_t] = s x_t / (a^2 c^2 + s^2)."""
+
+    def __init__(self, sde, c=0.5):
+        self.sde, self.c = sde, c
+
+    def __call__(self, params, x_t, t, y_cat, y_cont):
+        b = x_t.shape[0]
+        a = self.sde.alpha(t).reshape(b, 1, 1, 1)
+        s = self.sde.sigma(t).reshape(b, 1, 1, 1)
+        return s * x_t / (a * a * self.c**2 + s * s)
+
+
+def test_perfect_teacher_zero_loss_for_consistent_student():
+    """With an analytic teacher whose DDIM map is its own one-step map (the
+    Gaussian case is linear, so two half-steps compose to a map whose
+    inversion reproduces the analytic v at the SAME (x_t, t) up to O(h^2)
+    solver error): the distillation loss against a student that equals the
+    teacher's v-form must be small, and must shrink as steps double."""
+    sde = VPSDE(0.1, 30.0)
+    teacher = _AnalyticScore(sde)
+    c = teacher.c
+
+    def student_v(params, x_t, t, y_cat, y_cont):
+        b = x_t.shape[0]
+        a = sde.alpha(t).reshape(b, 1, 1, 1)
+        s = sde.sigma(t).reshape(b, 1, 1, 1)
+        eps = teacher(params, x_t, t, y_cat, y_cont)
+        x0 = (x_t - s * eps) / jnp.clip(a, min=1e-6)
+        return a * eps - s * x0
+
+    class _Wrap:
+        def apply(self, vars_, x_t, t, y_cat, y_cont):
+            return student_v(vars_["params"], x_t, t, y_cat, y_cont)
+
+    losses = {}
+    for n in (8, 16):
+        step = make_distill_train_step(
+            _Wrap(), teacher, {}, optax.sgd(0.0), sde, n,
+            n_types=4, guidance_scale=0.0, teacher_prediction="eps")
+        # x0 ~ N(0, c^2) in [-1,1] space -> feed (x0+1)/2 since the loss maps
+        # x0 = 2*raw - 1
+        raw = (c * jax.random.normal(K, (64, 8, 8, 1)) + 1.0) / 2.0
+        state = create_train_state({}, optax.sgd(0.0))
+        _, loss = step(state, raw, jnp.zeros((64,), jnp.int32),
+                       jnp.zeros((64, 4)), jax.random.key(7))
+        losses[n] = float(loss)
+    assert losses[8] < 0.05, losses
+    assert losses[16] < losses[8], losses  # 2nd-order-ish shrink
+
+
+def test_distill_step_updates_and_donates():
+    model, apply_fn, params = _tiny()
+    sde = VPSDE(0.1, 30.0)
+    tx = optax.adam(1e-3)
+    teacher_params = jax.tree.map(jnp.copy, params)
+    step = make_distill_train_step(
+        model, apply_fn, teacher_params, tx, sde, 4,
+        n_types=4, guidance_scale=1.5, teacher_prediction="eps",
+        ema_decay=0.99)
+    state = create_train_state(jax.tree.map(jnp.copy, params), tx, ema=True)
+    before = float(jax.tree.leaves(state.params)[0][..., 0].sum())
+    x0 = jax.random.uniform(K, (8, 16, 16, 1))
+    state2, loss = step(state, x0, jnp.zeros((8,), jnp.int32),
+                        jnp.zeros((8, 4)), jax.random.key(1))
+    assert jnp.isfinite(loss)
+    assert int(state2.step) == 1
+    after = float(jax.tree.leaves(state2.params)[0][..., 0].sum())
+    assert after != before  # params moved
+    assert state2.ema_params is not None
+
+
+def test_distill_epoch_fused_and_sharded_matches_single():
+    """Fused distillation epoch under the 8-device data mesh == single-device
+    numerics (same keys, same procedural batches)."""
+    from toycrystals_tpu.data import LatticeConfig
+    from toycrystals_tpu.parallel import make_mesh, replicate
+
+    model, apply_fn, params = _tiny()
+    sde = VPSDE(0.1, 30.0)
+    # sgd is linear in the gradients, so cross-sharding reduction-order
+    # roundoff stays roundoff-sized (adam's sign-normalising first steps
+    # amplify it to full lr-sized deltas — same note as test_sharding.py)
+    tx = optax.sgd(1e-2)
+    cfg = LatticeConfig(img_size=16, rot_only=True)
+    teacher_params = jax.tree.map(jnp.copy, params)
+
+    def run(mesh):
+        epoch = make_distill_train_epoch(
+            model, apply_fn,
+            replicate(mesh, teacher_params) if mesh else teacher_params,
+            tx, sde, 4, n_types=4, guidance_scale=1.5,
+            teacher_prediction="eps", batch_size=16, n_items=32,
+            lattice_cfg=cfg, dataset_seed=0, mesh=mesh)
+        st = create_train_state(jax.tree.map(jnp.copy, params), tx)
+        if mesh:
+            st = replicate(mesh, st)
+        st, loss = epoch(st, jax.random.key(2))
+        return float(loss), jax.device_get(st.params)
+
+    l1, p1 = run(None)
+    mesh = make_mesh(8)
+    l2, p2 = run(mesh)
+    assert np.isfinite(l1)
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
+    a, b = jax.tree.leaves(p1), jax.tree.leaves(p2)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    """teacher train (1 epoch, tiny) -> 2-phase distill -> scored grids ->
+    sample the distilled checkpoint through the sampler CLI."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    scripts = Path(__file__).resolve().parent.parent / "scripts"
+    env_run = dict(__import__("os").environ)
+    env_run.setdefault("JAX_PLATFORMS", "cpu")
+
+    def run(script, *argv):
+        r = subprocess.run(
+            [sys.executable, str(scripts / script), *map(str, argv)],
+            capture_output=True, text=True, env=env_run, timeout=1200)
+        assert r.returncode == 0, f"{script} failed:\n{r.stdout}\n{r.stderr}"
+        return r.stdout
+
+    tdir = tmp_path / "teacher"
+    run("train_sde_score_model.py", "--device", "cpu", "--procedural",
+        "--img-size", "16", "--n-samples", "64", "--epochs", "1",
+        "--batch-size", "16", "--base-ch", "8", "--emb-dim", "16",
+        "--ema-decay", "0.9", "--sample-every", "0", "--out-dir", tdir)
+    ddir = tmp_path / "distill"
+    out = run("distill_sde_score_model.py", "--device", "cpu",
+              "--teacher", tdir / "checkpoints" / "sde_score_model_last.msgpack",
+              "--n-samples", "64", "--batch-size", "16",
+              "--from-steps", "4", "--to-steps", "2", "--epochs", "1",
+              "--grid-n", "9", "--out-dir", ddir)
+    assert "phases [4, 2]" in out
+    assert (ddir / "checkpoints" / "distilled_2step.msgpack").exists()
+    assert (ddir / "results" / "ddim_4step.png").exists()
+    assert (ddir / "distill_summary.jsonl").exists()
+    out = run("sample_sde_score_model.py", "--device", "cpu",
+              "--out-dir", ddir,
+              "--ckpt", ddir / "checkpoints" / "distilled_2step.msgpack",
+              "--sampler", "ddim", "--cfg", "0", "--n", "4",
+              "--out-path", tmp_path / "s.png")
+    assert "distilled checkpoint: --steps defaulting to 2" in out
+    assert (tmp_path / "s.png").exists()

@@ -16,6 +16,7 @@ from toycrystals_tpu.models.sde_score_model import (
     predict_eps_cfg,
     auto_chunk,
     sample_chunked,
+    sample_ddim,
     sample_dpmpp_2m,
     sample_probability_flow_ode,
     sample_reverse_sde_euler_maruyama,
@@ -40,6 +41,7 @@ __all__ = [
     "predict_eps_cfg",
     "auto_chunk",
     "sample_chunked",
+    "sample_ddim",
     "sample_dpmpp_2m",
     "sample_probability_flow_ode",
     "sample_reverse_sde_euler_maruyama",

@@ -613,6 +613,97 @@ def sample_dpmpp_2m(
     return _x0_projection(apply_fn, params, sde, x, ts[-1], y_cat, y_cont, gs, n_types, b)
 
 
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11, 12, 13))
+def sample_ddim(
+    apply_fn: Callable[..., jax.Array],
+    params: Any,
+    sde: VPSDE,
+    y_cat: jax.Array,
+    y_cont: jax.Array,
+    img_shape: tuple[int, int, int, int],
+    key: jax.Array,
+    n_steps: int = 4,
+    guidance_scale: float = 0.0,
+    t_end: float = 1e-3,
+    n_types: int = 4,
+    clip_x0: bool = False,
+    sharding=None,
+    prediction: str = "eps",
+) -> jax.Array:
+    """Deterministic DDIM on the quadratic grid — exactly `n_steps` model
+    evaluations (NEW TPU scope, no reference counterpart: the reference's
+    continuous-time samplers are 300-step Heun/Euler-Maruyama,
+    `sde_score_model.py:452-569`; its only DDIM lives on the discrete latent
+    prior). This is the few-step sampler for progressive-distilled students
+    (train/distill.py): the student's one-step map IS this update rule, so
+    sampling an N-step student runs N single-pass evals — no CFG doubling
+    when guidance_scale <= 0 (distilled students bake the guidance in).
+
+    Each step evaluates the net at ts[i] and jumps x to ts[i+1] via the exact
+    marginal decomposition x_s = alpha_s*x0_hat + sigma_s*eps_hat; the FINAL
+    eval returns x0_hat directly instead of stepping to t_end (the standard
+    few-step convention — saves the extra projection eval the other samplers
+    spend, which matters at n_steps 1-4).
+
+    prediction: how to read the net output.
+      "eps" — x advances via the alpha-ratio form (never divides by alpha;
+              the final x0_hat divides by clip(alpha, 1e-6) like
+              `_x0_projection`).
+      "v"   — x0_hat = alpha*x - sigma*v and eps_hat = sigma*x + alpha*v are
+              exact and well-conditioned at EVERY t, including t=1 where the
+              eps-form x0 recovery cancels in f32 (measured ~7000x the v
+              route's rounding error; tests/test_distill.py). Distilled
+              students train in v.
+    CFG combining works on the raw net output for either parameterization
+    (the combine is affine and both passes share (x_t, t))."""
+    t_end = _check_t_end(t_end)
+    if prediction not in ("eps", "v"):
+        raise ValueError(f"prediction must be eps|v, got {prediction}")
+    b, h, w, c = img_shape
+    assert c == 1
+    gs = float(guidance_scale)
+    pin = _make_pin(sharding)
+
+    ts = _quadratic_grid(n_steps, t_end)
+    x = pin(jax.random.normal(key, (b, h, w, c), jnp.float32))
+
+    def x0_eps(x, tb):
+        a = sde.alpha(tb).reshape(b, 1, 1, 1)
+        s = sde.sigma(tb).reshape(b, 1, 1, 1)
+        raw = predict_eps_cfg(apply_fn, params, x, tb, y_cat, y_cont, gs, n_types)
+        if prediction == "v":
+            x0 = a * x - s * raw
+            eps = s * x + a * raw
+        else:
+            eps = raw
+            x0 = (x - s * eps) / jnp.clip(a, min=1e-6)
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            eps = (x - a * x0) / s
+        return x0, eps
+
+    def body(x, step):
+        t, t_next = step
+        tb = jnp.full((b,), t)
+        x0, eps = x0_eps(x, tb)
+        a_n = sde.alpha(jnp.full((b,), t_next)).reshape(b, 1, 1, 1)
+        s_n = sde.sigma(jnp.full((b,), t_next)).reshape(b, 1, 1, 1)
+        if prediction == "v" or clip_x0:
+            x = a_n * x0 + s_n * eps
+        else:
+            # alpha-ratio form: equal to a_n*x0 + s_n*eps without the
+            # ill-conditioned x0 division at large t
+            a_t = sde.alpha(tb).reshape(b, 1, 1, 1)
+            s_t = sde.sigma(tb).reshape(b, 1, 1, 1)
+            x = (a_n / jnp.clip(a_t, min=1e-6)) * (x - s_t * eps) + s_n * eps
+        return pin(x), None
+
+    if n_steps > 1:
+        x, _ = jax.lax.scan(body, x, (ts[:-2], ts[1:-1]))
+    x0, _ = x0_eps(x, jnp.full((b,), ts[-2]))
+    return jnp.clip((x0 + 1.0) * 0.5, 0.0, 1.0)
+
+
 def auto_chunk(img_size: int, n_steps: int, sampler: str = "sde") -> int:
     """Largest per-dispatch sample batch that keeps one compiled sampling
     scan under the tunneled-TPU per-dispatch duration cap (~1-2 min;
