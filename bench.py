@@ -165,6 +165,35 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — context fields are best-effort
         print(f"cost analysis unavailable: {e}", file=sys.stderr)
 
+    # Distilled serving path (scripts/distill_sde_score_model.py): N
+    # single-pass DDIM evals per image, guidance baked in — the one lever
+    # that moves throughput PAST the 602-eval speed of light by removing
+    # evals instead of chasing MFU. Throughput is weight-independent, so
+    # measure it here with the same params; quality-vs-steps is the
+    # committed fidelity table (assets/FIGURES.md, benchmarks/results.json).
+    distilled = {}
+    try:
+        from toycrystals_tpu.models import sample_ddim
+
+        for n_steps in (4, 1):
+            def run_d(key, ns=n_steps):
+                return checksum(sample_ddim(
+                    apply_fn, params, sde, y_cat, y_cont, (b, 64, 64, 1), key,
+                    n_steps=ns, guidance_scale=0.0, t_end=args.t_end,
+                    prediction="v"))
+
+            jax.device_get(run_d(jax.random.key(0)))  # compile + warmup
+            dts = []
+            for i in range(args.repeats):
+                t0 = time.perf_counter()
+                jax.device_get(run_d(jax.random.key(i + 1)))
+                dts.append(time.perf_counter() - t0)
+            distilled[f"distilled_{n_steps}step_img_s"] = round(b / min(dts), 1)
+            print(f"distilled {n_steps}-step: {b / min(dts):.1f} img/s",
+                  file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — context fields are best-effort
+        print(f"distilled-path context unavailable: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "64x64_samples_per_sec_per_chip_300step_reverse_sde_cfg",
         "value": round(ips, 2),
@@ -174,8 +203,12 @@ def main() -> int:
         "speed_of_light_img_s": round(sol, 1) if sol else None,
         "mfu": round(mfu, 3) if mfu else None,
         "vs_sol": round(ips / sol, 3) if sol else None,
+        **distilled,
         "note": "5000 img/s target is ~100x above single-chip speed of light "
-                "at 602 U-Net evals/sample; see BASELINE.md + benchmarks/NOTES.md",
+                "at 602 U-Net evals/sample; the distilled_*step fields are "
+                "the progressive-distillation serving path that beats it by "
+                "cutting evals (quality table: assets/FIGURES.md); see "
+                "BASELINE.md + benchmarks/NOTES.md",
     }))
     return 0
 

@@ -59,6 +59,16 @@ def main() -> int:
                    help="Final student step count; phases halve from "
                         "--from-steps down to this (both powers of 2).")
     p.add_argument("--epochs", type=int, default=8, help="Epochs per phase.")
+    p.add_argument("--phase0-epochs", type=int, default=None,
+                   help="Epochs for the FIRST phase only (default: --epochs). "
+                        "Needed when the teacher is eps-parameterized: the "
+                        "student outputs v, so phase 0 doubles as an eps->v "
+                        "conversion (the analytic wrap v = eps/alpha - "
+                        "(sigma/alpha) x is 1/alpha ~ 2000x ill-conditioned "
+                        "at t=1, so it must be LEARNED) and converges far "
+                        "slower than the later v->v phases. Prefer a --param v "
+                        "teacher (train_sde_score_model.py), the Salimans & Ho "
+                        "setup, which makes phase 0 a pure solver-gap fit.")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--ema-decay", type=float, default=0.0,
@@ -149,6 +159,12 @@ def main() -> int:
         n //= 2
     print(f"distilling {teacher_pred}-teacher at cfg {args.cfg}: "
           f"phases {schedule} ({args.epochs} epochs each)")
+    if teacher_pred == "eps" and args.phase0_epochs is None:
+        print("WARNING: eps-parameterized teacher — phase 0 must also LEARN "
+              "the eps->v parameterization conversion (loss starts ~1 and "
+              "falls slowly). Give it --phase0-epochs >> --epochs, or train "
+              "the teacher with --param v (recommended; see --phase0-epochs "
+              "help).")
 
     # ---- run dir -----------------------------------------------------------
     if args.out_dir is None:
@@ -198,6 +214,9 @@ def main() -> int:
 
     for phase, n_steps in enumerate(schedule):
         t0 = time.time()
+        n_epochs = (args.phase0_epochs
+                    if phase == 0 and args.phase0_epochs is not None
+                    else args.epochs)
         # student init = teacher weights (fresh copies: the donated step
         # would otherwise free the teacher's buffers out from under phase+1)
         student = create_train_state(
@@ -211,13 +230,13 @@ def main() -> int:
             ema_decay=args.ema_decay, batch_size=args.batch_size,
             n_items=n_items, mesh=mesh, **data_kw)
         losses = []
-        for ep in range(args.epochs):
+        for ep in range(n_epochs):
             key, k_ep = jax.random.split(key)
             student, loss = epoch_fn(student, k_ep)
             loss = float(jax.device_get(loss))
             losses.append(loss)
             print(f"[phase {phase} | {n_steps}-step] epoch {ep + 1}/"
-                  f"{args.epochs} v-mse {loss:.5f}")
+                  f"{n_epochs} v-mse {loss:.5f}")
             append_jsonl(metrics_path,
                          {"phase": phase, "steps": n_steps,
                           "epoch": ep + 1, "loss": loss})
@@ -225,7 +244,7 @@ def main() -> int:
         student_cfg["distill_steps"] = n_steps
         ckpt_path = os.path.join(ckpt_dir, f"distilled_{n_steps}step.msgpack")
         save_checkpoint(ckpt_path, {
-            "epoch_next": args.epochs, "state": student,
+            "epoch_next": n_epochs, "state": student,
             "loss_hist": losses, "config": dict(student_cfg),
         })
         print(f"  saved: {ckpt_path}  ({time.time() - t0:.0f}s)")
