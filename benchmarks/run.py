@@ -256,6 +256,10 @@ def main() -> int:
             # the fast-sampler comparison holds weights fixed.
             "ours_sde300_repro64": (REPO / "assets/score_based_diffusion/"
                                     "repro64_sde300_samples.png", 64),
+            # SDE-300 grid from the v-param teacher the distill_* grids below
+            # descend from, so quality-vs-steps holds the pretraining fixed.
+            "ours_sde300_v64": (REPO / "assets/score_based_diffusion/"
+                                "v64_sde300_samples.png", 64),
         }
         # DPM fast-path grids, once committed (round-2 item #3)
         for steps in (30, 50):
