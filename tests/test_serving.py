@@ -1,0 +1,209 @@
+"""Serving runtime tests (toycrystals_tpu/serve.py + scripts/serve_sde_score_model.py).
+
+New TPU scope — the reference has no serving story (its sampler CLI reloads
+weights and recompiles per invocation). Contracts verified:
+- setting resolution: explicit > distilled-checkpoint > reference defaults;
+- bucket ladder: clamped to the tunnel-safe cap, rounded to mesh multiples,
+  requests padded to the nearest bucket and trimmed (any n works);
+- determinism of the direct path given (ckpt, settings, seed);
+- MicroBatcher coalesces concurrent requests into shared dispatches and
+  splits results back per caller, validating conditions eagerly;
+- the HTTP front-end serves /healthz, /stats, /sample (JSON + PNG, POST +
+  GET-query forms) with 400/404 on bad input.
+"""
+
+import json
+import sys
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from toycrystals_tpu.models import CondUNetTiny
+from toycrystals_tpu.serve import MicroBatcher, ScoreModelService, grid_png_bytes
+from toycrystals_tpu.train import create_train_state
+from toycrystals_tpu.utils import save_checkpoint
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+K = jax.random.key(0)
+
+CFG = {
+    "img_ch": 1, "img_size": 16, "n_types": 4, "y_cont_dim": 4,
+    "base_ch": 8, "emb_dim": 16, "cond_ch": 8, "time_ch": 8,
+    "beta_min": 0.1, "beta_max": 30.0, "logsnr_shift": 0.0,
+    "t_power": 1.0, "p_uncond": 0.1, "dtype": "float32", "param": "eps",
+}
+
+
+@pytest.fixture(scope="module")
+def ckpts(tmp_path_factory):
+    """One plain and one distilled-style tiny checkpoint."""
+    d = tmp_path_factory.mktemp("serve_ckpts")
+    u = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    params = u.init(K, jnp.zeros((2, 16, 16, 1)), jnp.zeros((2,)),
+                    jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+    state = create_train_state(params, optax.adam(1e-3), ema=True)
+    plain = d / "plain.msgpack"
+    save_checkpoint(plain, {"epoch_next": 1, "state": state,
+                            "loss_hist": [0.1], "config": CFG})
+    dcfg = dict(CFG, param="v", distilled=True, distill_steps=2,
+                distill_t_end=0.005, distill_cfg=1.5)
+    dist = d / "distilled.msgpack"
+    save_checkpoint(dist, {"epoch_next": 1, "state": state,
+                           "loss_hist": [0.1], "config": dcfg})
+    return str(plain), str(dist)
+
+
+def test_defaults_plain_vs_distilled(ckpts):
+    plain, dist = ckpts
+    svc = ScoreModelService(plain, buckets=(2,))
+    # reference committed settings (sample_sde_score_model.py usage)
+    assert (svc.sampler_name, svc.steps) == ("sde", 300)
+    assert (svc.guidance_scale, svc.t_end) == (1.5, 0.005)
+    sd = ScoreModelService(dist, buckets=(2,))
+    # student serves its trained few-step DDIM map with baked-in guidance
+    assert (sd.sampler_name, sd.steps, sd.guidance_scale) == ("ddim", 2, 0.0)
+    assert sd._extra_kw == {"prediction": "v"}
+    # explicit settings win over both
+    sx = ScoreModelService(dist, sampler="sde", steps=7, guidance_scale=2.0,
+                           buckets=(2,))
+    assert (sx.sampler_name, sx.steps, sx.guidance_scale) == ("sde", 7, 2.0)
+
+
+def test_sample_pads_trims_and_is_deterministic(ckpts):
+    plain, _ = ckpts
+    svc = ScoreModelService(plain, steps=2, buckets=(2, 4))
+    x = svc.sample_conditions([0, 1, 2], thetas=[0.0, 0.1, 0.2], seed=7)
+    assert x.shape == (3, 16, 16, 1) and x.dtype == np.float32
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    x2 = svc.sample_conditions([0, 1, 2], thetas=[0.0, 0.1, 0.2], seed=7)
+    np.testing.assert_array_equal(x, x2)
+    x3 = svc.sample_conditions([0, 1, 2], thetas=[0.0, 0.1, 0.2], seed=8)
+    assert np.abs(x - x3).max() > 0
+    # beyond the top bucket -> several top-bucket chunks, exact n back
+    before = svc.stats["dispatches"]
+    y = svc.sample_conditions([0] * 6, seed=1)
+    assert y.shape == (6, 16, 16, 1)
+    assert svc.stats["dispatches"] - before == 2
+
+
+def test_bucket_ladder_mesh_rounding(ckpts):
+    plain, _ = ckpts
+    from toycrystals_tpu.parallel import make_mesh
+
+    mesh = make_mesh(4)
+    svc = ScoreModelService(plain, steps=2, buckets=(1, 2, 4, 8), mesh=mesh)
+    assert svc.buckets == (4, 8)  # rounded up to the data-axis multiple
+    x = svc.sample_conditions([0, 1, 2], seed=0)  # n=3 pads to bucket 4
+    assert x.shape == (3, 16, 16, 1)
+
+
+def test_conditions_validation(ckpts):
+    plain, _ = ckpts
+    svc = ScoreModelService(plain, steps=2, buckets=(2,))
+    y_cat, y_cont = svc.conditions([1, 2], thetas=0.3)  # scalar broadcasts
+    assert y_cat.shape == (2,) and y_cont.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(y_cont[:, 1]), 0.3)
+    with pytest.raises(ValueError, match="out of range"):
+        svc.conditions([9])
+    with pytest.raises(ValueError, match="broadcast"):
+        svc.conditions([0, 1, 2], thetas=[0.0, 0.1])
+
+
+def test_microbatcher_coalesces_and_splits(ckpts):
+    plain, _ = ckpts
+    svc = ScoreModelService(plain, steps=2, buckets=(2, 4))
+    mb = MicroBatcher(svc, window_ms=50)
+    try:
+        futs = [mb.submit([i % 4], thetas=[0.1 * i]) for i in range(5)]
+        outs = [f.result(timeout=300) for f in futs]
+        assert all(o.shape == (1, 16, 16, 1) for o in outs)
+        assert mb.stats["coalesced_requests"] == 5
+        assert mb.stats["batched_dispatches"] < 5  # some coalescing happened
+        with pytest.raises(ValueError):  # validation is eager, pre-queue
+            mb.submit([99])
+    finally:
+        mb.close()
+
+
+def test_grid_png_bytes(ckpts):
+    plain, _ = ckpts
+    svc = ScoreModelService(plain, steps=2, buckets=(2,))
+    x = svc.sample_conditions([0, 1], seed=0)
+    png = grid_png_bytes(x, title="t")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+@pytest.fixture(scope="module")
+def server(ckpts):
+    import serve_sde_score_model as ssm
+
+    _, dist = ckpts
+    svc = ScoreModelService(dist, buckets=(2, 4))
+    srv = ssm.make_server(svc, port=0, window_ms=20)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.batcher.close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_http_healthz_and_stats(server):
+    code, ctype, body = _get(server + "/healthz")
+    assert code == 200 and ctype == "application/json"
+    obj = json.loads(body)
+    assert obj["ok"] and obj["model"]["distilled"]
+    code, _, body = _get(server + "/stats")
+    assert code == 200 and "service" in json.loads(body)
+
+
+def test_http_sample_json_and_png(server):
+    code, ctype, body = _post(server + "/sample",
+                              {"types": [0, 1], "thetas": [0.0, 0.2]})
+    assert code == 200 and ctype == "application/json"
+    obj = json.loads(body)
+    assert obj["shape"] == [2, 16, 16, 1]
+    assert np.asarray(obj["images"]).shape == (2, 16, 16)
+    code, ctype, body = _post(server + "/sample",
+                              {"types": [0], "format": "png", "seed": 3})
+    assert code == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
+
+
+def test_http_sample_get_query(server):
+    code, ctype, body = _get(server + "/sample?type=1&theta=0.3&n=2&seed=5")
+    assert code == 200
+    assert json.loads(body)["shape"] == [2, 16, 16, 1]
+    # same seed + layout -> identical bytes (reproducible direct path)
+    _, _, body2 = _get(server + "/sample?type=1&theta=0.3&n=2&seed=5")
+    assert body == body2
+
+
+def test_http_errors(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/sample", {"thetas": [0.0]})
+    assert e.value.code == 400 and "types" in e.value.read().decode()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server + "/sample", {"types": [0], "format": "gif"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server + "/nope")
+    assert e.value.code == 404

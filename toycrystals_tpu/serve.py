@@ -1,0 +1,358 @@
+"""Serving runtime for trained score-model checkpoints.
+
+The reference has no serving story: every batch of samples re-runs the
+sampler CLI end to end, re-loading weights and re-building the model per
+invocation (`/root/reference/scripts/sample_sde_score_model.py:19-135`).
+The TPU-native shape of "serve this model" is a *resident service*:
+
+- **Load once.** Checkpoint (ours or a reference ``.pt``) is read once and
+  the params stay device-resident.
+- **Compile once per shape.** XLA specialises one executable per static
+  batch shape, so the service pins a small ladder of batch *buckets*
+  (default 1/4/16/64) and pads every request up to the nearest bucket,
+  trimming after the dispatch — zero recompiles in steady state.
+- **Coalesce concurrent callers.** :class:`MicroBatcher` queues requests
+  for a few milliseconds and fuses them into one dispatch, the standard
+  dynamic-batching recipe for static-shape accelerators.
+
+With a progressive-distilled student (``scripts/distill_sde_score_model.py``)
+the per-dispatch cost is 1-16 single-pass U-Net evals, i.e. low-ms latency
+and >8k img/s throughput on one v5e chip (``bench.py`` distilled fields).
+
+``scripts/serve_sde_score_model.py`` exposes this over HTTP.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Sequence
+
+import numpy as np
+
+DEFAULT_BUCKETS = (1, 4, 16, 64)
+
+# The reference's committed sampling settings (README + figure grids:
+# `/root/reference/scripts/sample_sde_score_model.py` usage) — the serving
+# defaults for a non-distilled checkpoint.
+_REFERENCE_SERVE = {"sampler": "sde", "steps": 300,
+                    "guidance_scale": 1.5, "t_end": 0.005}
+
+
+def load_score_payload(ckpt_path: str) -> dict[str, Any]:
+    """Read a score-model checkpoint: our msgpack or a reference ``.pt``."""
+    if str(ckpt_path).endswith(".pt"):
+        from toycrystals_tpu.utils.torch_interop import load_torch_score_checkpoint
+
+        return load_torch_score_checkpoint(ckpt_path)
+    from toycrystals_tpu.utils import load_checkpoint
+
+    return load_checkpoint(ckpt_path)
+
+
+class ScoreModelService:
+    """Checkpoint-resident sampling service with fixed compiled batch buckets.
+
+    Parameters left ``None`` resolve from the checkpoint: a distilled student
+    serves with the DDIM sampler at its trained step count / t_end with its
+    baked-in guidance; any other checkpoint serves the reference's committed
+    settings (reverse-SDE, 300 steps, CFG 1.5, t_end 0.005).
+
+    ``buckets`` are clamped to the tunnel-safe per-dispatch cap
+    (``auto_chunk``) and, under a mesh, rounded up to the data-axis size so
+    every dispatch shards cleanly. Requests larger than the top bucket are
+    served in top-bucket chunks (``sample_chunked`` pad-and-trim semantics).
+    """
+
+    def __init__(
+        self,
+        ckpt_path: str,
+        *,
+        use_ema: bool = True,
+        sampler: str | None = None,
+        steps: int | None = None,
+        guidance_scale: float | None = None,
+        t_end: float | None = None,
+        clip_x0: bool = False,
+        dtype: str = "auto",
+        attn_impl: str = "auto",
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        mesh=None,
+    ):
+        import jax.numpy as jnp
+
+        from toycrystals_tpu.models import (
+            CondUNetTiny,
+            VPSDE,
+            auto_chunk,
+            eps_apply_from_v,
+            sample_ddim,
+            sample_dpmpp_2m,
+            sample_probability_flow_ode,
+            sample_reverse_sde_euler_maruyama,
+        )
+
+        payload = load_score_payload(ckpt_path)
+        cfg = payload.get("config")
+        if not cfg:
+            raise ValueError(
+                f"{ckpt_path} has no embedded config; serving needs a "
+                "self-describing checkpoint (any trainer/distill output, or "
+                "a reference .pt)")
+        self.ckpt_path = str(ckpt_path)
+        self.config = dict(cfg)
+
+        state = payload["state"]
+        params = state["params"]
+        if use_ema and state.get("ema_params") is not None:
+            params = state["ema_params"]
+
+        # --- serving settings: explicit > checkpoint (distilled) > reference
+        distilled = bool(cfg.get("distilled"))
+        if sampler is None:
+            sampler = "ddim" if distilled else _REFERENCE_SERVE["sampler"]
+        if steps is None:
+            steps = int(cfg["distill_steps"]) if distilled else _REFERENCE_SERVE["steps"]
+        if t_end is None:
+            t_end = float(cfg["distill_t_end"]) if distilled else _REFERENCE_SERVE["t_end"]
+        if guidance_scale is None:
+            # distilled students bake their guidance in; extra CFG on top
+            # distorts the trained map
+            guidance_scale = 0.0 if distilled else _REFERENCE_SERVE["guidance_scale"]
+        self.sampler_name = str(sampler)
+        self.steps = int(steps)
+        self.guidance_scale = float(guidance_scale)
+        self.t_end = float(t_end)
+        self.clip_x0 = bool(clip_x0)
+
+        dtype_name = str(cfg.get("dtype", "float32")) if dtype == "auto" else dtype
+        self.model = CondUNetTiny(
+            n_types=int(cfg["n_types"]), y_cont_dim=int(cfg["y_cont_dim"]),
+            base_ch=int(cfg["base_ch"]), emb_dim=int(cfg["emb_dim"]),
+            cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
+            dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+            attn_impl=attn_impl,
+        )
+        self.sde = VPSDE(
+            beta_min=float(cfg.get("beta_min", 0.1)),
+            beta_max=float(cfg.get("beta_max", 30.0)),
+            logsnr_shift=float(cfg.get("logsnr_shift", 0.0)),
+        )
+        self.params = params
+        self.img_size = int(cfg.get("img_size", 64))
+        self.n_types = int(cfg["n_types"])
+        self.y_cont_dim = int(cfg["y_cont_dim"])
+        self.mesh = mesh
+
+        model = self.model
+        apply_fn = lambda prm, xt, t, yc, yv: model.apply(  # noqa: E731
+            {"params": prm}, xt, t, yc, yv)
+        self._extra_kw: dict[str, Any] = {}
+        if self.sampler_name == "ddim":
+            # ddim consumes the raw net output; the v path is the only
+            # well-conditioned route at the t=1 evals a few-step student makes
+            self._extra_kw["prediction"] = str(cfg.get("param", "eps"))
+        elif str(cfg.get("param", "eps")) == "v":
+            apply_fn = eps_apply_from_v(self.sde, apply_fn)
+        self._apply_fn = apply_fn
+        self._sampler_fn = {
+            "ode": sample_probability_flow_ode,
+            "sde": sample_reverse_sde_euler_maruyama,
+            "dpm": sample_dpmpp_2m,
+            "ddim": sample_ddim,
+        }[self.sampler_name]
+
+        cap = auto_chunk(self.img_size, self.steps, self.sampler_name)
+        mult = int(dict(mesh.shape).get("data", mesh.devices.size)) if mesh is not None else 1
+        ladder = sorted({max(1, min(int(b), cap)) for b in buckets})
+        self.buckets = tuple(sorted({-(-b // mult) * mult for b in ladder}))
+
+        self._lock = threading.Lock()  # one dispatch at a time per chip
+        self._stats = {"requests": 0, "images": 0, "dispatches": 0}
+
+    # --- introspection -----------------------------------------------------
+    @property
+    def stats(self) -> dict[str, Any]:
+        with self._lock:
+            s = dict(self._stats)
+        s.update(buckets=list(self.buckets), sampler=self.sampler_name,
+                 steps=self.steps, guidance_scale=self.guidance_scale,
+                 t_end=self.t_end, img_size=self.img_size,
+                 distilled=bool(self.config.get("distilled")),
+                 ckpt=self.ckpt_path)
+        return s
+
+    def describe(self) -> dict[str, Any]:
+        keep = ("n_types", "y_cont_dim", "base_ch", "emb_dim", "param",
+                "dtype", "img_size", "distilled", "distill_steps")
+        return {k: self.config[k] for k in keep if k in self.config}
+
+    # --- request shaping ---------------------------------------------------
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def conditions(self, types, thetas=None):
+        """Build (y_cat, y_cont) rows from lattice types + rotation angles.
+
+        Scalars broadcast; theta lands at index 1 of y_cont, the
+        ConditionEmbedding contract (models/sde_score_model.py)."""
+        import jax.numpy as jnp
+
+        y_cat = jnp.atleast_1d(jnp.asarray(types, jnp.int32))
+        if thetas is None:
+            thetas = jnp.zeros((y_cat.shape[0],), jnp.float32)
+        th = jnp.atleast_1d(jnp.asarray(thetas, jnp.float32))
+        n = max(y_cat.shape[0], th.shape[0])
+        if y_cat.shape[0] == 1:
+            y_cat = jnp.repeat(y_cat, n, axis=0)
+        if th.shape[0] == 1:
+            th = jnp.repeat(th, n, axis=0)
+        if y_cat.shape[0] != th.shape[0]:
+            raise ValueError(f"types ({y_cat.shape[0]}) and thetas "
+                             f"({th.shape[0]}) do not broadcast")
+        if int(jnp.max(y_cat)) >= self.n_types or int(jnp.min(y_cat)) < 0:
+            raise ValueError(f"lattice type out of range [0, {self.n_types})")
+        y_cont = jnp.zeros((n, self.y_cont_dim), jnp.float32).at[:, 1].set(th)
+        return y_cat, y_cont
+
+    # --- sampling ----------------------------------------------------------
+    def sample(self, y_cat, y_cont, *, seed: int = 0) -> np.ndarray:
+        """Sample one image per condition row; returns (n, H, W, 1) in [0,1].
+
+        The request is padded to the nearest bucket (trimmed after); requests
+        beyond the top bucket run in top-bucket chunks. Deterministic given
+        (checkpoint, settings, seed, batch layout)."""
+        import jax
+
+        from toycrystals_tpu.models import sample_chunked
+
+        n = int(y_cat.shape[0])
+        bucket = self._pick_bucket(n)
+        sp_kw = {}
+        if self.mesh is not None and "space" in self.mesh.axis_names:
+            from toycrystals_tpu.parallel import image_sharding
+
+            sp_kw["sharding"] = image_sharding(self.mesh)
+        with self._lock:
+            x = sample_chunked(
+                self._sampler_fn, self._apply_fn, self.params, self.sde,
+                y_cat, y_cont, (n, self.img_size, self.img_size, 1),
+                jax.random.key(seed), chunk=bucket, mesh=self.mesh,
+                n_steps=self.steps, guidance_scale=self.guidance_scale,
+                t_end=self.t_end, n_types=self.n_types, clip_x0=self.clip_x0,
+                **sp_kw, **self._extra_kw,
+            )
+            self._stats["requests"] += 1
+            self._stats["images"] += n
+            self._stats["dispatches"] += -(-n // bucket)
+        return np.asarray(x, np.float32)
+
+    def sample_conditions(self, types, thetas=None, *, seed: int = 0) -> np.ndarray:
+        y_cat, y_cont = self.conditions(types, thetas)
+        return self.sample(y_cat, y_cont, seed=seed)
+
+    def warmup(self) -> None:
+        """Compile every bucket executable up front (first request stays ms)."""
+        for b in self.buckets:
+            self.sample_conditions([0] * b, seed=0)
+
+
+class MicroBatcher:
+    """Dynamic batching: coalesce concurrent requests into shared dispatches.
+
+    Requests submitted within ``window_ms`` of each other (up to the
+    service's top bucket) are stacked into ONE sampler dispatch and the
+    results are split back per caller — the standard serving recipe for
+    static-shape accelerators. Each dispatch folds a running counter into
+    the service seed, so results are i.i.d. across dispatches but NOT
+    bitwise-reproducible across different coalescing layouts (documented
+    serving semantics; use :meth:`ScoreModelService.sample` directly for
+    reproducibility)."""
+
+    def __init__(self, service: ScoreModelService, *, window_ms: float = 5.0,
+                 max_batch: int | None = None, base_seed: int = 0):
+        self.service = service
+        self.window_s = float(window_ms) / 1e3
+        self.max_batch = int(max_batch or service.buckets[-1])
+        self._q: queue.Queue = queue.Queue()
+        self._dispatches = 0
+        self._coalesced = 0
+        self._base_seed = int(base_seed)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, types, thetas=None) -> Future:
+        """Enqueue a request; the Future resolves to (n, H, W, 1) float32."""
+        y_cat, y_cont = self.service.conditions(types, thetas)  # validate now
+        fut: Future = Future()
+        self._q.put((np.asarray(y_cat), np.asarray(y_cont), fut))
+        return fut
+
+    def close(self) -> None:
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    @property
+    def stats(self) -> dict[str, Any]:
+        return {"batched_dispatches": self._dispatches,
+                "coalesced_requests": self._coalesced,
+                "window_ms": self.window_s * 1e3, "max_batch": self.max_batch}
+
+    def _run(self) -> None:
+        import time
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            rows = item[0].shape[0]
+            deadline = time.monotonic() + self.window_s
+            while rows < self.max_batch:
+                try:
+                    nxt = self._q.get(timeout=max(0.0, deadline - time.monotonic()))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(batch)
+                    return
+                batch.append(nxt)
+                rows += nxt[0].shape[0]
+            self._dispatch(batch)
+
+    def _dispatch(self, batch) -> None:
+        import jax.numpy as jnp
+
+        self._dispatches += 1
+        self._coalesced += len(batch)
+        seed = self._base_seed + self._dispatches
+        try:
+            y_cat = jnp.concatenate([jnp.asarray(b[0]) for b in batch], axis=0)
+            y_cont = jnp.concatenate([jnp.asarray(b[1]) for b in batch], axis=0)
+            x = self.service.sample(y_cat, y_cont, seed=seed)
+        except Exception as e:  # noqa: BLE001 — fan the failure out to callers
+            for _, _, fut in batch:
+                fut.set_exception(e)
+            return
+        i = 0
+        for yc, _, fut in batch:
+            n = yc.shape[0]
+            fut.set_result(x[i:i + n])
+            i += n
+
+
+def grid_png_bytes(x: np.ndarray, title: str | None = None) -> bytes:
+    """Render samples as a square grid PNG (the committed figure convention)."""
+    import io
+
+    from toycrystals_tpu.utils.figures import save_image_grid
+
+    side = int(math.ceil(math.sqrt(x.shape[0])))
+    buf = io.BytesIO()
+    save_image_grid(x, buf, nrows=side, ncols=side, suptitle=title)
+    return buf.getvalue()

@@ -42,8 +42,12 @@ def save_image_grid(
     figsize: tuple[float, float] | None = None,
     title_fontsize: int = 7,
 ) -> None:
-    """6x6-style grid, grayscale, vmin=0 vmax=1, dpi=200."""
-    out_path = _ensure_dir(out_path)
+    """6x6-style grid, grayscale, vmin=0 vmax=1, dpi=200.
+
+    `out_path` may be a filesystem path or a binary file-like object
+    (PNG bytes; used by the serving front-end, toycrystals_tpu/serve.py)."""
+    if not hasattr(out_path, "write"):
+        out_path = _ensure_dir(out_path)
     images = np.asarray(images)
     fig, axes = plt.subplots(nrows, ncols, figsize=figsize or (ncols, nrows))
     if suptitle:
