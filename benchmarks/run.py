@@ -67,11 +67,11 @@ def main() -> int:
                    help="batch for the sharded stretch run (v5e-8 config)")
     p.add_argument("--only", type=str, default="",
                    help="comma list of sections to run (default all): "
-                        "sde,ode,dpm,fewstep,vae,sde_train,datagen,ddim,fidelity")
+                        "sde,ode,dpm,fewstep,serving,vae,sde_train,datagen,ddim,fidelity")
     args = p.parse_args()
     only = {s for s in args.only.split(",") if s}
-    sections = {"sde", "ode", "dpm", "fewstep", "vae", "sde_train", "datagen",
-                "ddim", "fidelity"}
+    sections = {"sde", "ode", "dpm", "fewstep", "serving", "vae", "sde_train",
+                "datagen", "ddim", "fidelity"}
     if unknown := only - sections:
         p.error(f"unknown --only section(s) {sorted(unknown)}; choose from {sorted(sections)}")
 
@@ -116,7 +116,8 @@ def main() -> int:
     # --- SDE / ODE sampling (bf16 compute) ---
     b = args.sample_batch
     sde = VPSDE(0.1, 30.0)
-    if want("sde") or want("ode") or want("dpm") or want("fewstep") or args.stretch:
+    if (want("sde") or want("ode") or want("dpm") or want("fewstep")
+            or want("serving") or args.stretch):
         unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
                             dtype=jnp.bfloat16)
         uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
@@ -169,6 +170,67 @@ def main() -> int:
             results[f"ddim_distilled_{n_steps}step"] = {
                 "images_per_sec": round(sb / dt, 2), "batch": sb,
                 "steps": n_steps, "cfg": "baked"}
+
+    if want("serving"):
+        # Serving stack end-to-end (toycrystals_tpu/serve.py): request wall
+        # latency through the checkpoint-resident service at a 4-step
+        # distilled config, vs the raw compiled dispatch underneath — the
+        # delta is the serving layer's own cost (bucket pad/trim, lock,
+        # host conversion). On the tunneled chip both include the ~1 s
+        # dispatch RTT floor (CLAUDE.md); production TPU has no tunnel, so
+        # the overhead delta is the portable number.
+        import tempfile
+
+        from toycrystals_tpu.serve import MicroBatcher, ScoreModelService
+        from toycrystals_tpu.train import create_train_state as _cts
+        from toycrystals_tpu.utils import save_checkpoint as _save
+
+        scfg = {"img_ch": 1, "img_size": 64, "n_types": 4, "y_cont_dim": 4,
+                "base_ch": 96, "emb_dim": 128, "cond_ch": 8, "time_ch": 8,
+                "beta_min": 0.1, "beta_max": 30.0, "logsnr_shift": 0.0,
+                "t_power": 1.0, "p_uncond": 0.1, "dtype": "bfloat16",
+                "param": "v", "distilled": True, "distill_steps": 4,
+                "distill_t_end": 0.005, "distill_cfg": 1.5}
+        with tempfile.TemporaryDirectory() as td:
+            sp = str(Path(td) / "serve_bench.msgpack")
+            _save(sp, {"epoch_next": 0, "loss_hist": [],
+                       "state": _cts(uparams, optax.adam(1e-4)),
+                       "config": scfg})
+            svc = ScoreModelService(sp, buckets=(1, 16, 64))
+            svc.warmup()
+            # batch-1 request latency (reproducible direct path)
+            lats = []
+            for i in range(12):
+                t0 = time.perf_counter()
+                svc.sample_conditions([i % 4], thetas=[0.1 * i], seed=i)
+                lats.append(time.perf_counter() - t0)
+            lats.sort()
+            # raw dispatch underneath (same executable shape, no service)
+            raw = timeit(lambda k: sample_ddim(
+                uapply, uparams, sde, y_cat[:1], y_cont[:1], (1, 64, 64, 1),
+                k, n_steps=4, guidance_scale=0.0, t_end=0.005,
+                prediction="v"), key, repeats=6)
+            # micro-batched concurrent throughput: 64 callers, 1 image each
+            mb = MicroBatcher(svc, window_ms=8)
+            try:
+                t0 = time.perf_counter()
+                futs = [mb.submit([i % 4]) for i in range(64)]
+                for f in futs:
+                    f.result(timeout=600)
+                mb_dt = time.perf_counter() - t0
+                mb_stats = dict(mb.stats)
+            finally:
+                mb.close()
+            results["serving"] = {
+                "p50_latency_ms_b1": round(lats[len(lats) // 2] * 1e3, 1),
+                "p90_latency_ms_b1": round(lats[-2] * 1e3, 1),
+                "raw_dispatch_ms_b1": round(raw * 1e3, 1),
+                "service_overhead_ms": round(
+                    (lats[len(lats) // 2] - raw) * 1e3, 1),
+                "concurrent_64x1_img_per_sec": round(64 / mb_dt, 1),
+                "batched_dispatches": mb_stats["batched_dispatches"],
+                "steps": 4, "buckets": list(svc.buckets),
+            }
 
     # --- VAE train step ---
     tb = args.train_batch

@@ -200,24 +200,30 @@ class ScoreModelService:
         """Build (y_cat, y_cont) rows from lattice types + rotation angles.
 
         Scalars broadcast; theta lands at index 1 of y_cont, the
-        ConditionEmbedding contract (models/sde_score_model.py)."""
-        import jax.numpy as jnp
+        ConditionEmbedding contract (models/sde_score_model.py).
 
-        y_cat = jnp.atleast_1d(jnp.asarray(types, jnp.int32))
+        Pure numpy on purpose: on a tunneled TPU every eager device op costs
+        a dispatch round-trip (~25 ms warm) and a *blocking* one serializes
+        callers behind whatever dispatch is in flight — which is exactly when
+        MicroBatcher.submit runs. Request shaping must never touch the
+        device (measured: jnp here put ~0.5 s on every request and reduced
+        the batcher to one request per dispatch; benchmarks/NOTES.md)."""
+        y_cat = np.atleast_1d(np.asarray(types, np.int32))
         if thetas is None:
-            thetas = jnp.zeros((y_cat.shape[0],), jnp.float32)
-        th = jnp.atleast_1d(jnp.asarray(thetas, jnp.float32))
+            thetas = np.zeros((y_cat.shape[0],), np.float32)
+        th = np.atleast_1d(np.asarray(thetas, np.float32))
         n = max(y_cat.shape[0], th.shape[0])
         if y_cat.shape[0] == 1:
-            y_cat = jnp.repeat(y_cat, n, axis=0)
+            y_cat = np.repeat(y_cat, n, axis=0)
         if th.shape[0] == 1:
-            th = jnp.repeat(th, n, axis=0)
+            th = np.repeat(th, n, axis=0)
         if y_cat.shape[0] != th.shape[0]:
             raise ValueError(f"types ({y_cat.shape[0]}) and thetas "
                              f"({th.shape[0]}) do not broadcast")
-        if int(jnp.max(y_cat)) >= self.n_types or int(jnp.min(y_cat)) < 0:
+        if y_cat.size and (int(y_cat.max()) >= self.n_types or int(y_cat.min()) < 0):
             raise ValueError(f"lattice type out of range [0, {self.n_types})")
-        y_cont = jnp.zeros((n, self.y_cont_dim), jnp.float32).at[:, 1].set(th)
+        y_cont = np.zeros((n, self.y_cont_dim), np.float32)
+        y_cont[:, 1] = th
         return y_cat, y_cont
 
     # --- sampling ----------------------------------------------------------
@@ -326,14 +332,14 @@ class MicroBatcher:
             self._dispatch(batch)
 
     def _dispatch(self, batch) -> None:
-        import jax.numpy as jnp
-
         self._dispatches += 1
         self._coalesced += len(batch)
         seed = self._base_seed + self._dispatches
         try:
-            y_cat = jnp.concatenate([jnp.asarray(b[0]) for b in batch], axis=0)
-            y_cont = jnp.concatenate([jnp.asarray(b[1]) for b in batch], axis=0)
+            # host-side concat: no device op may run before the lock is held
+            # (see ScoreModelService.conditions)
+            y_cat = np.concatenate([b[0] for b in batch], axis=0)
+            y_cont = np.concatenate([b[1] for b in batch], axis=0)
             x = self.service.sample(y_cat, y_cont, seed=seed)
         except Exception as e:  # noqa: BLE001 — fan the failure out to callers
             for _, _, fut in batch:
