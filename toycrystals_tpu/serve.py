@@ -140,6 +140,18 @@ class ScoreModelService:
             beta_max=float(cfg.get("beta_max", 30.0)),
             logsnr_shift=float(cfg.get("logsnr_shift", 0.0)),
         )
+        # Checkpoints restore as HOST numpy pytrees; pin the weights on device
+        # ONCE here. Passing numpy params into the per-request dispatch would
+        # re-upload the full model every call — measured ~300 ms/request over
+        # the tunnel, the entire serving-latency floor (benchmarks/NOTES.md).
+        import jax
+
+        if mesh is not None:
+            from toycrystals_tpu.parallel import shard_params
+
+            params = shard_params(mesh, params)
+        else:
+            params = jax.device_put(params)
         self.params = params
         self.img_size = int(cfg.get("img_size", 64))
         self.n_types = int(cfg["n_types"])
@@ -171,6 +183,7 @@ class ScoreModelService:
 
         self._lock = threading.Lock()  # one dispatch at a time per chip
         self._stats = {"requests": 0, "images": 0, "dispatches": 0}
+        self._exec_cache: dict[int, Any] = {}
 
     # --- introspection -----------------------------------------------------
     @property
@@ -227,18 +240,61 @@ class ScoreModelService:
         return y_cat, y_cont
 
     # --- sampling ----------------------------------------------------------
+    def _bucket_executable(self, bucket: int):
+        """One jitted executor per bucket with ZERO eager device ops around it.
+
+        On a tunneled TPU every eager dispatch is a blocking round-trip, so
+        key construction moves *inside* the jit (the seed rides in as a
+        scalar argument with the dispatch) and padding stays host-side numpy.
+        A batch-1 request is then exactly one compiled dispatch plus one
+        result pull: with the weights device-pinned (see __init__), p50
+        latency is ~42 ms vs a ~31 ms raw dispatch
+        (benchmarks/results.json "serving")."""
+        fn = self._exec_cache.get(bucket)
+        if fn is None:
+            import jax
+
+            sampler_fn, apply_fn, sde = self._sampler_fn, self._apply_fn, self.sde
+            shape = (bucket, self.img_size, self.img_size, 1)
+            kw = dict(n_steps=self.steps, guidance_scale=self.guidance_scale,
+                      t_end=self.t_end, n_types=self.n_types,
+                      clip_x0=self.clip_x0, **self._extra_kw)
+
+            def run(params, yc, yv, seed):
+                return sampler_fn(apply_fn, params, sde, yc, yv, shape,
+                                  jax.random.key(seed), **kw)
+
+            fn = self._exec_cache[bucket] = jax.jit(run)
+        return fn
+
     def sample(self, y_cat, y_cont, *, seed: int = 0) -> np.ndarray:
         """Sample one image per condition row; returns (n, H, W, 1) in [0,1].
 
         The request is padded to the nearest bucket (trimmed after); requests
         beyond the top bucket run in top-bucket chunks. Deterministic given
         (checkpoint, settings, seed, batch layout)."""
+        n = int(y_cat.shape[0])
+        bucket = self._pick_bucket(n)
+        if self.mesh is None and n <= self.buckets[-1]:
+            # fast path: host-side pad, single dispatch, single pull
+            pad = bucket - n
+            yc = np.asarray(y_cat, np.int32)
+            yv = np.asarray(y_cont, np.float32)
+            if pad:
+                yc = np.concatenate([yc, np.repeat(yc[-1:], pad, axis=0)])
+                yv = np.concatenate([yv, np.repeat(yv[-1:], pad, axis=0)])
+            with self._lock:
+                x = self._bucket_executable(bucket)(
+                    self.params, yc, yv, np.uint32(seed & 0xFFFFFFFF))
+                self._stats["requests"] += 1
+                self._stats["images"] += n
+                self._stats["dispatches"] += 1
+            return np.asarray(x, np.float32)[:n]
+
         import jax
 
         from toycrystals_tpu.models import sample_chunked
 
-        n = int(y_cat.shape[0])
-        bucket = self._pick_bucket(n)
         sp_kw = {}
         if self.mesh is not None and "space" in self.mesh.axis_names:
             from toycrystals_tpu.parallel import image_sharding
