@@ -761,6 +761,11 @@ def sample_chunked(
         # Full replication on data/spatial meshes; channel-sharded over
         # 'model' on a tensor-parallel mesh (parallel/tensor.py).
         params = shard_params(mesh, params)
+    else:
+        # Checkpoint-loaded params are HOST numpy; pin them once so each
+        # chunk dispatch doesn't re-upload the full model over the tunnel
+        # (measured ~300 ms per re-upload at base_ch=96; benchmarks/NOTES.md).
+        params = jax.device_put(params)
 
     def pad(a, k):
         return a if k == 0 else jnp.concatenate(
