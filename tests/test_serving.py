@@ -105,6 +105,20 @@ def test_bucket_ladder_mesh_rounding(ckpts):
     assert x.shape == (3, 16, 16, 1)
 
 
+def test_weights_device_resident_and_no_eager_shaping(ckpts):
+    """Serving-latency regression guards (benchmarks/NOTES.md):
+    (1) checkpoint weights must be pinned on device at construction — host
+    numpy params re-upload the full model on EVERY request over a tunnel;
+    (2) request shaping must be pure host numpy — eager jnp ops serialize
+    behind in-flight dispatches and collapse MicroBatcher coalescing."""
+    plain, _ = ckpts
+    svc = ScoreModelService(plain, steps=2, buckets=(2,))
+    assert all(isinstance(leaf, jax.Array)
+               for leaf in jax.tree.leaves(svc.params))
+    y_cat, y_cont = svc.conditions([0, 1], thetas=0.2)
+    assert isinstance(y_cat, np.ndarray) and isinstance(y_cont, np.ndarray)
+
+
 def test_conditions_validation(ckpts):
     plain, _ = ckpts
     svc = ScoreModelService(plain, steps=2, buckets=(2,))
