@@ -110,7 +110,7 @@ def main() -> int:
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
     from toycrystals_tpu.parallel import replicate
     from toycrystals_tpu.train import create_train_state, make_distill_train_epoch
-    from toycrystals_tpu.utils import append_jsonl, load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils import GracefulShutdown, append_jsonl, load_checkpoint, save_checkpoint
     from toycrystals_tpu.utils.fidelity import score_lattice_fidelity
     from toycrystals_tpu.utils.figures import save_image_grid
 
@@ -212,73 +212,89 @@ def main() -> int:
         "distill_teacher": os.path.abspath(args.teacher),
     })
 
-    for phase, n_steps in enumerate(schedule):
-        t0 = time.time()
-        n_epochs = (args.phase0_epochs
-                    if phase == 0 and args.phase0_epochs is not None
-                    else args.epochs)
-        # student init = teacher weights (fresh copies: the donated step
-        # would otherwise free the teacher's buffers out from under phase+1)
-        student = create_train_state(
-            jax.tree.map(jnp.copy, teacher_params), tx, ema=args.ema_decay > 0)
-        if mesh is not None:
-            student = replicate(mesh, student)
-        epoch_fn = make_distill_train_epoch(
-            model, apply_fn, teacher_params, tx, sde, n_steps,
-            n_types=n_types, guidance_scale=args.cfg,
-            teacher_prediction=teacher_pred, t_end=args.t_end,
-            ema_decay=args.ema_decay, batch_size=args.batch_size,
-            n_items=n_items, mesh=mesh, **data_kw)
-        losses = []
-        for ep in range(n_epochs):
-            key, k_ep = jax.random.split(key)
-            student, loss = epoch_fn(student, k_ep)
-            loss = float(jax.device_get(loss))
-            losses.append(loss)
-            print(f"[phase {phase} | {n_steps}-step] epoch {ep + 1}/"
-                  f"{n_epochs} v-mse {loss:.5f}")
-            append_jsonl(metrics_path,
-                         {"phase": phase, "steps": n_steps,
-                          "epoch": ep + 1, "loss": loss})
+    with GracefulShutdown() as stop:
+        for phase, n_steps in enumerate(schedule):
+            t0 = time.time()
+            n_epochs = (args.phase0_epochs
+                        if phase == 0 and args.phase0_epochs is not None
+                        else args.epochs)
+            # student init = teacher weights (fresh copies: the donated step
+            # would otherwise free the teacher's buffers out from under phase+1)
+            student = create_train_state(
+                jax.tree.map(jnp.copy, teacher_params), tx, ema=args.ema_decay > 0)
+            if mesh is not None:
+                student = replicate(mesh, student)
+            epoch_fn = make_distill_train_epoch(
+                model, apply_fn, teacher_params, tx, sde, n_steps,
+                n_types=n_types, guidance_scale=args.cfg,
+                teacher_prediction=teacher_pred, t_end=args.t_end,
+                ema_decay=args.ema_decay, batch_size=args.batch_size,
+                n_items=n_items, mesh=mesh, **data_kw)
+            losses = []
+            for ep in range(n_epochs):
+                key, k_ep = jax.random.split(key)
+                student, loss = epoch_fn(student, k_ep)
+                loss = float(jax.device_get(loss))
+                losses.append(loss)
+                print(f"[phase {phase} | {n_steps}-step] epoch {ep + 1}/"
+                      f"{n_epochs} v-mse {loss:.5f}")
+                append_jsonl(metrics_path,
+                             {"phase": phase, "steps": n_steps,
+                              "epoch": ep + 1, "loss": loss})
+                if stop.requested:
+                    # Preemption (utils/preempt.py): persist the partially-
+                    # distilled student for THIS phase — it is a working
+                    # n_steps-student, just undertrained; re-run the script with
+                    # --teacher <this ckpt> --from-steps n_steps to continue.
+                    student_cfg["distill_steps"] = n_steps
+                    ckpt_path = os.path.join(
+                        ckpt_dir, f"distilled_{n_steps}step.msgpack")
+                    save_checkpoint(ckpt_path, {
+                        "epoch_next": ep + 1, "state": student,
+                        "loss_hist": losses, "config": dict(student_cfg),
+                    })
+                    print(f"preempted ({stop.signame}) in phase {phase} after "
+                          f"epoch {ep + 1}: partial student saved at {ckpt_path}")
+                    return 0
 
-        student_cfg["distill_steps"] = n_steps
-        ckpt_path = os.path.join(ckpt_dir, f"distilled_{n_steps}step.msgpack")
-        save_checkpoint(ckpt_path, {
-            "epoch_next": n_epochs, "state": student,
-            "loss_hist": losses, "config": dict(student_cfg),
-        })
-        print(f"  saved: {ckpt_path}  ({time.time() - t0:.0f}s)")
+            student_cfg["distill_steps"] = n_steps
+            ckpt_path = os.path.join(ckpt_dir, f"distilled_{n_steps}step.msgpack")
+            save_checkpoint(ckpt_path, {
+                "epoch_next": n_epochs, "state": student,
+                "loss_hist": losses, "config": dict(student_cfg),
+            })
+            print(f"  saved: {ckpt_path}  ({time.time() - t0:.0f}s)")
 
-        sample_params = student.sample_params
-        if args.grid_n:
-            x = sample_ddim(
-                apply_fn, sample_params, sde, y_cat_g, y_cont_g,
-                (int(y_cat_g.shape[0]), img_size, img_size, 1),
-                jax.random.key(args.seed + 1), n_steps=n_steps,
-                guidance_scale=0.0, t_end=args.t_end, n_types=n_types,
-                prediction="v")
-            x = np.asarray(jax.device_get(x))
-            side = int(math.ceil(math.sqrt(args.grid_n)))
-            grid_path = os.path.join(results_dir, f"ddim_{n_steps}step.png")
-            save_image_grid(
-                x[: args.grid_n], grid_path, nrows=side, ncols=side,
-                suptitle=f"distilled ddim | steps={n_steps} | "
-                         f"baked cfg={args.cfg:g}")
-            score = score_lattice_fidelity(
-                x[: args.grid_n], y_cat_g[: args.grid_n],
-                np.asarray(y_cont_g)[: args.grid_n, 1],
-                n_types=n_types, theta_max=args.theta_max)
-            line = {"steps": n_steps, "final_loss": losses[-1],
-                    "type_acc": score["type_acc"],
-                    "type_acc_merged01": score["type_acc_merged01"],
-                    "theta_mae_deg": score["theta_mae_deg"],
-                    "cond_fidelity": score["cond_fidelity"]}
-            append_jsonl(summary_path, line)
-            print(f"  grid: {grid_path}\n  fidelity: {json.dumps(line)}")
+            sample_params = student.sample_params
+            if args.grid_n:
+                x = sample_ddim(
+                    apply_fn, sample_params, sde, y_cat_g, y_cont_g,
+                    (int(y_cat_g.shape[0]), img_size, img_size, 1),
+                    jax.random.key(args.seed + 1), n_steps=n_steps,
+                    guidance_scale=0.0, t_end=args.t_end, n_types=n_types,
+                    prediction="v")
+                x = np.asarray(jax.device_get(x))
+                side = int(math.ceil(math.sqrt(args.grid_n)))
+                grid_path = os.path.join(results_dir, f"ddim_{n_steps}step.png")
+                save_image_grid(
+                    x[: args.grid_n], grid_path, nrows=side, ncols=side,
+                    suptitle=f"distilled ddim | steps={n_steps} | "
+                             f"baked cfg={args.cfg:g}")
+                score = score_lattice_fidelity(
+                    x[: args.grid_n], y_cat_g[: args.grid_n],
+                    np.asarray(y_cont_g)[: args.grid_n, 1],
+                    n_types=n_types, theta_max=args.theta_max)
+                line = {"steps": n_steps, "final_loss": losses[-1],
+                        "type_acc": score["type_acc"],
+                        "type_acc_merged01": score["type_acc_merged01"],
+                        "theta_mae_deg": score["theta_mae_deg"],
+                        "cond_fidelity": score["cond_fidelity"]}
+                append_jsonl(summary_path, line)
+                print(f"  grid: {grid_path}\n  fidelity: {json.dumps(line)}")
 
-        # this phase's student teaches the next (always v from here on)
-        teacher_params = sample_params
-        teacher_pred = "v"
+            # this phase's student teaches the next (always v from here on)
+            teacher_params = sample_params
+            teacher_pred = "v"
 
     print(f"done: {len(schedule)} phases -> {ckpt_dir}")
     return 0

@@ -111,7 +111,7 @@ def main() -> int:
         make_prior_train_epoch,
         make_prior_train_step,
     )
-    from toycrystals_tpu.utils import load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils import GracefulShutdown, load_checkpoint, save_checkpoint
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves, type_titles
 
     rng = np.random.default_rng(args.seed)
@@ -362,59 +362,71 @@ def main() -> int:
     loss_hist = []
     print("starting diffusion training loop.")
     steps_per_epoch = n_items // args.batch_size
-    for epoch in range(args.epochs):
-        t0 = time.perf_counter()
-        key, sub = jax.random.split(key)
-        if args.fused_epoch:
-            state, em = epoch_fn(state, sched, sub)
-            avg = float(em["loss"])
-            bucket_sum = np.asarray(em["bucket_sum"])
-            bucket_n = np.asarray(em["bucket_n"])
-        else:
-            metrics = []
-            for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-                bidx = jnp.asarray(bidx)
-                sub, k_step = jax.random.split(sub)
-                batch = shard_batch(mesh, (z0_norm[bidx], y_cat[bidx], y_cont[bidx]))
-                state, m = step(state, sched, *batch, k_step)
-                metrics.append(m)
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)
-            avg = float(jnp.mean(stacked["loss"]))
-            bucket_sum = np.asarray(jnp.sum(stacked["bucket_sum"], axis=0))
-            bucket_n = np.asarray(jnp.sum(stacked["bucket_n"], axis=0))
-        dt = time.perf_counter() - t0
-        if not math.isfinite(avg):
-            # divergence guard: halt before the checkpoint write so the last
-            # finite-loss checkpoint survives (same policy as the SDE trainer)
-            raise SystemExit(
-                f"epoch {epoch + 1}: non-finite loss ({avg}) — training "
-                f"diverged; last good checkpoint kept at {args.prior_ckpt}."
-            )
-        loss_hist.append(avg)
-        print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
-              f"({steps_per_epoch * args.batch_size / dt:.0f} z/s)")
+    with GracefulShutdown() as stop:
+        for epoch in range(args.epochs):
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            if args.fused_epoch:
+                state, em = epoch_fn(state, sched, sub)
+                avg = float(em["loss"])
+                bucket_sum = np.asarray(em["bucket_sum"])
+                bucket_n = np.asarray(em["bucket_n"])
+            else:
+                metrics = []
+                for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+                    bidx = jnp.asarray(bidx)
+                    sub, k_step = jax.random.split(sub)
+                    batch = shard_batch(mesh, (z0_norm[bidx], y_cat[bidx], y_cont[bidx]))
+                    state, m = step(state, sched, *batch, k_step)
+                    metrics.append(m)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *metrics)
+                avg = float(jnp.mean(stacked["loss"]))
+                bucket_sum = np.asarray(jnp.sum(stacked["bucket_sum"], axis=0))
+                bucket_n = np.asarray(jnp.sum(stacked["bucket_n"], axis=0))
+            dt = time.perf_counter() - t0
+            if not math.isfinite(avg):
+                # divergence guard: halt before the checkpoint write so the last
+                # finite-loss checkpoint survives (same policy as the SDE trainer)
+                raise SystemExit(
+                    f"epoch {epoch + 1}: non-finite loss ({avg}) — training "
+                    f"diverged; last good checkpoint kept at {args.prior_ckpt}."
+                )
+            loss_hist.append(avg)
+            print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
+                  f"({steps_per_epoch * args.batch_size / dt:.0f} z/s)")
 
-        if (args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0) or (
-            epoch == args.epochs - 1
-        ):
-            save_checkpoint(args.prior_ckpt, {
-                "params": unstack_pipeline_params(state.params) if pipe
-                else state.params,
-                "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
-                           "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
-                           "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
-                           "T": args.T, "beta_start": args.beta_start,
-                           "beta_end": args.beta_end,
-                           "n_experts": args.moe_experts},
-            })
+            # single read per epoch: a signal landing between two reads must
+            # not let the preempt branch claim a save that never happened
+            preempted = stop.requested
+            if preempted or (
+                args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0
+            ) or (epoch == args.epochs - 1):
+                save_checkpoint(args.prior_ckpt, {
+                    "params": unstack_pipeline_params(state.params) if pipe
+                    else state.params,
+                    "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
+                               "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
+                               "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
+                               "T": args.T, "beta_start": args.beta_start,
+                               "beta_end": args.beta_end,
+                               "n_experts": args.moe_experts},
+                })
+            if preempted:
+                # Preemption (utils/preempt.py): weights saved above regardless
+                # of --ckpt-every; continue with --resume (weights-only, the
+                # reference's resume semantics).
+                print(f"preempted ({stop.signame}) after epoch {epoch + 1}: "
+                      f"checkpoint saved at {args.prior_ckpt} — continue with "
+                      f"--resume")
+                break
 
-        if args.sample_every > 0 and (
-            (epoch + 1) % args.sample_every == 0 or epoch == args.epochs - 1
-        ):
-            save_samples("results/diffusion_samples.png")
+            if args.sample_every > 0 and (
+                (epoch + 1) % args.sample_every == 0 or epoch == args.epochs - 1
+            ):
+                save_samples("results/diffusion_samples.png")
 
-        bucket_avg = bucket_sum / np.maximum(bucket_n, 1.0)
-        print("  bucket loss (low t -> high t):", [f"{v:.3f}" for v in bucket_avg])
+            bucket_avg = bucket_sum / np.maximum(bucket_n, 1.0)
+            print("  bucket loss (low t -> high t):", [f"{v:.3f}" for v in bucket_avg])
 
     save_loss_curves({"diffusion_loss": loss_hist}, "results/diffusion_loss.png")
     print("saved: results/diffusion_samples.png, results/diffusion_loss.png, "

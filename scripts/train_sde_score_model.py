@@ -184,6 +184,7 @@ def main() -> int:
         make_sde_train_step,
     )
     from toycrystals_tpu.utils import (
+        GracefulShutdown,
         append_jsonl,
         ensure_file,
         load_checkpoint,
@@ -395,75 +396,86 @@ def main() -> int:
     profile_epoch = start_epoch + 1 if args.epochs - start_epoch > 1 else start_epoch
     import contextlib
 
-    for epoch in range(start_epoch, args.epochs):
-        profiling = (
-            jax.profiler.trace(args.profile_dir)
-            if (args.profile_dir and epoch == profile_epoch)
-            else contextlib.nullcontext()
-        )
-        t0 = time.perf_counter()
-        key, sub = jax.random.split(key)
-        if args.fused_epoch:
-            with profiling:
-                state, avg = epoch_fn(state, sub)
-                avg = float(avg)
-        else:
-            with profiling:
-                losses = []
-                for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-                    x0, y_cat, y_cont = get_batch(bidx)
-                    sub, k_step = jax.random.split(sub)
-                    state, loss = step(state, x0, y_cat, y_cont, k_step)
-                    losses.append(loss)
-                avg = float(jnp.mean(jnp.stack(losses)))
-        dt = time.perf_counter() - t0
-        if not math.isfinite(avg):
-            # Divergence guard (new TPU scope — the reference trains on
-            # silently, `train_sde_score_model.py:212-247`): halt BEFORE the
-            # checkpoint write so the last finite-loss checkpoint survives;
-            # resume from it with a lower lr / different seed.
-            raise SystemExit(
-                f"epoch {epoch + 1}: non-finite loss ({avg}) — training "
-                f"diverged. Last good checkpoint kept at {ckpt_path} "
-                f"(epoch {epoch}); resume with --resume after lowering --lr."
+    with GracefulShutdown() as stop:
+        for epoch in range(start_epoch, args.epochs):
+            profiling = (
+                jax.profiler.trace(args.profile_dir)
+                if (args.profile_dir and epoch == profile_epoch)
+                else contextlib.nullcontext()
             )
-        loss_hist.append(avg)
-        ips = steps_per_epoch * args.batch_size / dt
-        print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            if args.fused_epoch:
+                with profiling:
+                    state, avg = epoch_fn(state, sub)
+                    avg = float(avg)
+            else:
+                with profiling:
+                    losses = []
+                    for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+                        x0, y_cat, y_cont = get_batch(bidx)
+                        sub, k_step = jax.random.split(sub)
+                        state, loss = step(state, x0, y_cat, y_cont, k_step)
+                        losses.append(loss)
+                    avg = float(jnp.mean(jnp.stack(losses)))
+            dt = time.perf_counter() - t0
+            if not math.isfinite(avg):
+                # Divergence guard (new TPU scope — the reference trains on
+                # silently, `train_sde_score_model.py:212-247`): halt BEFORE the
+                # checkpoint write so the last finite-loss checkpoint survives;
+                # resume from it with a lower lr / different seed.
+                raise SystemExit(
+                    f"epoch {epoch + 1}: non-finite loss ({avg}) — training "
+                    f"diverged. Last good checkpoint kept at {ckpt_path} "
+                    f"(epoch {epoch}); resume with --resume after lowering --lr."
+                )
+            loss_hist.append(avg)
+            ips = steps_per_epoch * args.batch_size / dt
+            print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")
 
-        if (args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0) or (
-            epoch == args.epochs - 1
-        ):
-            save_checkpoint(ckpt_path, {
-                "epoch_next": epoch + 1, "state": state,
-                "loss_hist": loss_hist, "config": config,
-            })
-        if args.save_best and avg <= min(loss_hist):
-            save_checkpoint(
-                os.path.join(ckpt_dir, "sde_score_model_best.msgpack"),
-                {"epoch_next": epoch + 1, "state": state,
-                 "loss_hist": loss_hist, "config": config},
-            )
-        append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
+            # single read per epoch: a signal landing between two reads must
+            # not let the preempt branch claim a save that never happened
+            preempted = stop.requested
+            if preempted or (
+                args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0
+            ) or (epoch == args.epochs - 1):
+                save_checkpoint(ckpt_path, {
+                    "epoch_next": epoch + 1, "state": state,
+                    "loss_hist": loss_hist, "config": config,
+                })
+            if args.save_best and avg <= min(loss_hist):
+                save_checkpoint(
+                    os.path.join(ckpt_dir, "sde_score_model_best.msgpack"),
+                    {"epoch_next": epoch + 1, "state": state,
+                     "loss_hist": loss_hist, "config": config},
+                )
+            append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
+            if preempted:
+                # Preemption (utils/preempt.py): checkpoint is saved above
+                # regardless of --ckpt-every; skip diagnostics and exit clean.
+                print(f"preempted ({stop.signame}) after epoch {epoch + 1}: "
+                      f"checkpoint saved at {ckpt_path} — continue with "
+                      f"--resume")
+                break
 
-        if args.sample_every > 0 and (
-            ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1)
-        ):
-            out_path = os.path.join(results_dir, f"sde_samples_epoch_{epoch + 1:03d}.png")
-            # A transient backend failure in a diagnostic grid must not turn a
-            # long completed run into a failure (checkpoint/metrics above are
-            # already saved) — but a sampling path that has NEVER worked in
-            # this run is a real bug and re-raises.
-            try:
-                save_samples(out_path, state)
-                sample_grid_ok = True
-                print(f"  saved: {out_path}")
-            except Exception as e:  # noqa: BLE001
-                if not sample_grid_ok:
-                    raise
-                print(f"  WARNING: sample grid failed ({type(e).__name__}); "
-                      f"training artefacts are saved — rerun via "
-                      f"sample_sde_score_model.py: {e}")
+            if args.sample_every > 0 and (
+                ((epoch + 1) % args.sample_every == 0) or (epoch == args.epochs - 1)
+            ):
+                out_path = os.path.join(results_dir, f"sde_samples_epoch_{epoch + 1:03d}.png")
+                # A transient backend failure in a diagnostic grid must not turn a
+                # long completed run into a failure (checkpoint/metrics above are
+                # already saved) — but a sampling path that has NEVER worked in
+                # this run is a real bug and re-raises.
+                try:
+                    save_samples(out_path, state)
+                    sample_grid_ok = True
+                    print(f"  saved: {out_path}")
+                except Exception as e:  # noqa: BLE001
+                    if not sample_grid_ok:
+                        raise
+                    print(f"  WARNING: sample grid failed ({type(e).__name__}); "
+                          f"training artefacts are saved — rerun via "
+                          f"sample_sde_score_model.py: {e}")
 
     save_loss_curves({f"{args.param}_mse": loss_hist},
                      os.path.join(results_dir, "sde_loss.png"))

@@ -76,7 +76,7 @@ def main() -> int:
         make_vae_train_epoch,
         make_vae_train_step,
     )
-    from toycrystals_tpu.utils import load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils import GracefulShutdown, load_checkpoint, save_checkpoint
     from toycrystals_tpu.utils.figures import (
         save_image_grid,
         save_loss_curves,
@@ -178,50 +178,57 @@ def main() -> int:
     print("starting training loop...")
 
     n_batches = n_items // args.batch_size
-    for epoch in range(start_epoch, args.epochs):
-        beta_eff = args.beta * min(1.0, (epoch + 1) / 5.0)  # warm-up (`train_vae.py:311`)
-        t0 = time.perf_counter()
-        key, sub = jax.random.split(key)
-        if args.fused_epoch:
-            state, em = epoch_fn(state, jnp.float32(beta_eff), sub)
-            stacked = jax.device_get(em)
-        else:
-            batch_metrics = []  # device arrays; one host sync per epoch, not per step
-            for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-                x, y_cat, y_cont = get_train_batch(bidx)
-                sub, k_step = jax.random.split(sub)
-                state, m = step(state, x, y_cat, y_cont, jnp.float32(beta_eff), k_step)
-                batch_metrics.append(m)
-            stacked = jax.device_get(
-                jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *batch_metrics)
+    with GracefulShutdown() as stop:
+        for epoch in range(start_epoch, args.epochs):
+            beta_eff = args.beta * min(1.0, (epoch + 1) / 5.0)  # warm-up (`train_vae.py:311`)
+            t0 = time.perf_counter()
+            key, sub = jax.random.split(key)
+            if args.fused_epoch:
+                state, em = epoch_fn(state, jnp.float32(beta_eff), sub)
+                stacked = jax.device_get(em)
+            else:
+                batch_metrics = []  # device arrays; one host sync per epoch, not per step
+                for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
+                    x, y_cat, y_cont = get_train_batch(bidx)
+                    sub, k_step = jax.random.split(sub)
+                    state, m = step(state, x, y_cat, y_cont, jnp.float32(beta_eff), k_step)
+                    batch_metrics.append(m)
+                stacked = jax.device_get(
+                    jax.tree.map(lambda *xs: jnp.mean(jnp.stack(xs)), *batch_metrics)
+                )
+            dt = time.perf_counter() - t0
+            avg = {k: float(v) for k, v in stacked.items()}
+            if not math.isfinite(avg["loss"]):
+                # divergence guard: halt before the checkpoint write so the last
+                # finite-loss checkpoint survives (same policy as the SDE trainer)
+                raise SystemExit(
+                    f"epoch {epoch + 1}: non-finite loss ({avg['loss']}) — "
+                    f"training diverged; last good checkpoint kept at {ckpt_path}."
+                )
+            loss_hist.append(avg["loss"])
+            recon_hist.append(avg["recon"])
+            kl_hist.append(avg["kl"])
+            klr_hist.append(avg["kl_raw"])
+            ips = n_batches * args.batch_size / dt
+            print(
+                f"epoch {epoch + 1:02d}/{args.epochs} loss={avg['loss']:.4f} "
+                f"recon={avg['recon']:.4f} kl={avg['kl']:.6f} ({ips:.0f} img/s)"
             )
-        dt = time.perf_counter() - t0
-        avg = {k: float(v) for k, v in stacked.items()}
-        if not math.isfinite(avg["loss"]):
-            # divergence guard: halt before the checkpoint write so the last
-            # finite-loss checkpoint survives (same policy as the SDE trainer)
-            raise SystemExit(
-                f"epoch {epoch + 1}: non-finite loss ({avg['loss']}) — "
-                f"training diverged; last good checkpoint kept at {ckpt_path}."
-            )
-        loss_hist.append(avg["loss"])
-        recon_hist.append(avg["recon"])
-        kl_hist.append(avg["kl"])
-        klr_hist.append(avg["kl_raw"])
-        ips = n_batches * args.batch_size / dt
-        print(
-            f"epoch {epoch + 1:02d}/{args.epochs} loss={avg['loss']:.4f} "
-            f"recon={avg['recon']:.4f} kl={avg['kl']:.6f} ({ips:.0f} img/s)"
-        )
-        # `params` stays top-level so the frozen-VAE consumers
-        # (train_diffusion_prior.py) keep their schema; the extra fields make
-        # the checkpoint resumable.
-        save_checkpoint(ckpt_path, {
-            "params": state.params, "config": config,
-            "opt_state": state.opt_state, "epoch_next": epoch + 1,
-            "hists": {"loss": loss_hist, "recon": recon_hist,
-                      "kl": kl_hist, "kl_raw": klr_hist},
-        })
+            # `params` stays top-level so the frozen-VAE consumers
+            # (train_diffusion_prior.py) keep their schema; the extra fields make
+            # the checkpoint resumable.
+            save_checkpoint(ckpt_path, {
+                "params": state.params, "config": config,
+                "opt_state": state.opt_state, "epoch_next": epoch + 1,
+                "hists": {"loss": loss_hist, "recon": recon_hist,
+                          "kl": kl_hist, "kl_raw": klr_hist},
+            })
+            if stop.requested:
+                # Preemption (utils/preempt.py): per-epoch checkpoint above is
+                # already durable; skip the diagnostics grids and exit clean.
+                print(f"preempted ({stop.signame}) after epoch {epoch + 1}: "
+                      f"checkpoint saved at {ckpt_path} — continue with --resume")
+                return 0
 
     # --- diagnostics on one fresh batch (`train_vae.py:339-347`) ---
     fresh_idx = rng.permutation(n_items)[: args.batch_size]
