@@ -200,6 +200,19 @@ def main(argv=None) -> int:
     srv = make_server(service, args.host, args.port, window_ms=args.window_ms)
     print(f"listening on http://{srv.server_address[0]}:{srv.server_address[1]}"
           f"  (POST /sample, GET /healthz, GET /stats)")
+
+    # Graceful drain on SIGTERM (pod scale-down/preemption): stop accepting,
+    # finish in-flight dispatches, exit 0. shutdown() must run off the main
+    # thread — it blocks until serve_forever (running HERE) returns.
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        print(f"\n{signal.Signals(signum).name} received — draining and "
+              "shutting down", flush=True)
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -207,6 +220,7 @@ def main(argv=None) -> int:
     finally:
         srv.shutdown()
         srv.batcher.close()
+    print("serving stopped (in-flight requests completed)")
     return 0
 
 

@@ -211,6 +211,44 @@ def test_http_sample_get_query(server):
     assert body == body2
 
 
+def test_http_sigterm_drains_clean(ckpts):
+    """A SIGTERM'd serving process (pod scale-down) must drain and exit 0."""
+    import os
+    import signal as _signal
+    import subprocess
+    import time
+
+    _, dist = ckpts
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    proc = subprocess.Popen(
+        [sys.executable, "-u",
+         str(Path(__file__).resolve().parent.parent
+             / "scripts" / "serve_sde_score_model.py"),
+         dist, "--device", "cpu", "--port", "0", "--steps", "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        url = None
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("listening on "):
+                url = line.split()[2]
+                break
+            if proc.poll() is not None:
+                pytest.fail(f"server died early:\n{proc.stdout.read()}")
+        assert url, "server never reported its address"
+        code, _, _ = _get(url + "/healthz")
+        assert code == 200
+        proc.send_signal(_signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "draining" in out and "serving stopped" in out, out
+
+
 def test_http_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server + "/sample", {"thetas": [0.0]})
