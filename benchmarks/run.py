@@ -176,9 +176,10 @@ def main() -> int:
         # latency through the checkpoint-resident service at a 4-step
         # distilled config, vs the raw compiled dispatch underneath — the
         # delta is the serving layer's own cost (bucket pad/trim, lock,
-        # host conversion). On the tunneled chip both include the ~1 s
-        # dispatch RTT floor (CLAUDE.md); production TPU has no tunnel, so
-        # the overhead delta is the portable number.
+        # host conversion). On the tunneled chip both include the warm
+        # ~25-30 ms dispatch round-trip (measured, benchmarks/NOTES.md
+        # "Serving latency"); production TPU has no tunnel, so the overhead
+        # delta is the portable number.
         import tempfile
 
         from toycrystals_tpu.serve import MicroBatcher, ScoreModelService

@@ -266,6 +266,14 @@ def main() -> int:
             print(f"  saved: {ckpt_path}  ({time.time() - t0:.0f}s)")
 
             sample_params = student.sample_params
+            # poll at the phase boundary too: a signal landing during the
+            # final epoch's bookkeeping must not buy a whole grid sampling +
+            # fidelity pass (minutes) inside a ~30 s preemption grace window
+            if stop.requested:
+                print(f"preempted ({stop.signame}) after phase {phase}: "
+                      f"checkpoint saved at {ckpt_path}; skipping diagnostics "
+                      f"and later phases")
+                return 0
             if args.grid_n:
                 x = sample_ddim(
                     apply_fn, sample_params, sde, y_cat_g, y_cont_g,
@@ -295,6 +303,11 @@ def main() -> int:
             # this phase's student teaches the next (always v from here on)
             teacher_params = sample_params
             teacher_pred = "v"
+            if stop.requested:  # signal during the diagnostics pass
+                print(f"preempted ({stop.signame}) after phase {phase} "
+                      f"diagnostics: checkpoint saved at {ckpt_path}; "
+                      f"skipping later phases")
+                return 0
 
     print(f"done: {len(schedule)} phases -> {ckpt_dir}")
     return 0

@@ -146,6 +146,10 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0,
 
     batcher = MicroBatcher(service, window_ms=window_ms)
     srv = ThreadingHTTPServer((host, port), make_handler(service, batcher))
+    # drain contract: handler threads must be JOINED at server_close() —
+    # stdlib default daemon_threads=True would let interpreter exit kill a
+    # thread mid-dispatch/mid-write after "graceful" shutdown
+    srv.daemon_threads = False
     srv.batcher = batcher
     return srv
 
@@ -219,6 +223,10 @@ def main(argv=None) -> int:
         pass
     finally:
         srv.shutdown()
+        # join handler threads (daemon_threads=False) BEFORE closing the
+        # batcher: handlers blocked on Future.result() resolve as the still-
+        # running batcher worker dispatches them; only then drain the worker
+        srv.server_close()
         srv.batcher.close()
     print("serving stopped (in-flight requests completed)")
     return 0

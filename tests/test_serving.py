@@ -129,6 +129,12 @@ def test_conditions_validation(ckpts):
         svc.conditions([9])
     with pytest.raises(ValueError, match="broadcast"):
         svc.conditions([0, 1, 2], thetas=[0.0, 0.1])
+    with pytest.raises(ValueError, match="empty request"):
+        svc.conditions([])  # n=0 must 400 at validation, not 500 in the jit
+    with pytest.raises(ValueError, match="seed"):
+        svc.sample_conditions([0], seed=2**31)  # both paths share one range
+    with pytest.raises(ValueError, match="seed"):
+        svc.sample_conditions([0], seed=-1)
 
 
 def test_microbatcher_coalesces_and_splits(ckpts):

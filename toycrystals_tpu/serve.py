@@ -233,7 +233,9 @@ class ScoreModelService:
         if y_cat.shape[0] != th.shape[0]:
             raise ValueError(f"types ({y_cat.shape[0]}) and thetas "
                              f"({th.shape[0]}) do not broadcast")
-        if y_cat.size and (int(y_cat.max()) >= self.n_types or int(y_cat.min()) < 0):
+        if n == 0:
+            raise ValueError("empty request: need at least one lattice type")
+        if int(y_cat.max()) >= self.n_types or int(y_cat.min()) < 0:
             raise ValueError(f"lattice type out of range [0, {self.n_types})")
         y_cont = np.zeros((n, self.y_cont_dim), np.float32)
         y_cont[:, 1] = th
@@ -273,6 +275,12 @@ class ScoreModelService:
         The request is padded to the nearest bucket (trimmed after); requests
         beyond the top bucket run in top-bucket chunks. Deterministic given
         (checkpoint, settings, seed, batch layout)."""
+        seed = int(seed)
+        if not 0 <= seed < 2**31:
+            # one validated range for BOTH paths: silently truncating (or
+            # letting jax.random.key canonicalize differently on the chunked
+            # path) would make distinct seeds collide on a "reproducible" API
+            raise ValueError(f"seed must satisfy 0 <= seed < 2**31, got {seed}")
         n = int(y_cat.shape[0])
         bucket = self._pick_bucket(n)
         if self.mesh is None and n <= self.buckets[-1]:
@@ -285,7 +293,7 @@ class ScoreModelService:
                 yv = np.concatenate([yv, np.repeat(yv[-1:], pad, axis=0)])
             with self._lock:
                 x = self._bucket_executable(bucket)(
-                    self.params, yc, yv, np.uint32(seed & 0xFFFFFFFF))
+                    self.params, yc, yv, np.uint32(seed))
                 self._stats["requests"] += 1
                 self._stats["images"] += n
                 self._stats["dispatches"] += 1
@@ -355,9 +363,14 @@ class MicroBatcher:
         self._q.put((np.asarray(y_cat), np.asarray(y_cont), fut))
         return fut
 
-    def close(self) -> None:
+    def close(self, timeout: float | None = None) -> None:
+        """Drain the queue and stop the worker.
+
+        Blocks until every already-submitted request has been dispatched and
+        its Future resolved (the drain contract callers rely on at shutdown);
+        pass a timeout only when abandoning in-flight work is acceptable."""
         self._q.put(None)
-        self._worker.join(timeout=5)
+        self._worker.join(timeout=timeout)
 
     @property
     def stats(self) -> dict[str, Any]:

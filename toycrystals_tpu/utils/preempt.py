@@ -53,9 +53,15 @@ class GracefulShutdown:
             return
         self.requested = True
         self.signame = signal.Signals(signum).name
-        print(f"\n{self.signame} received — finishing the current epoch, "
-              "then checkpointing and exiting (send again to kill now)",
-              flush=True)
+        # os.write to the raw fd, NOT print(): the handler interrupts the
+        # main thread at an arbitrary bytecode — if that thread is mid-print,
+        # a buffered-writer re-entry raises RuntimeError out of the training
+        # loop and kills the run without the graceful checkpoint.
+        import os
+
+        os.write(2, (f"\n{self.signame} received — finishing the current "
+                     "epoch, then checkpointing and exiting (send again to "
+                     "kill now)\n").encode())
 
     def __enter__(self) -> "GracefulShutdown":
         for s in self._signals:
