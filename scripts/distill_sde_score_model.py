@@ -110,7 +110,12 @@ def main() -> int:
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
     from toycrystals_tpu.parallel import replicate
     from toycrystals_tpu.train import create_train_state, make_distill_train_epoch
-    from toycrystals_tpu.utils import GracefulShutdown, append_jsonl, load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils import (
+        AsyncCheckpointer,
+        GracefulShutdown,
+        append_jsonl,
+        load_checkpoint,
+    )
     from toycrystals_tpu.utils.fidelity import score_lattice_fidelity
     from toycrystals_tpu.utils.figures import save_image_grid
 
@@ -212,7 +217,12 @@ def main() -> int:
         "distill_teacher": os.path.abspath(args.teacher),
     })
 
-    with GracefulShutdown() as stop:
+    # Async checkpointing: the phase-end save overlaps with the (minutes-long)
+    # grid + fidelity diagnostics pass; the context manager joins the writer
+    # before any exit path, so every "saved:" print is durable by process end.
+    ckptr = AsyncCheckpointer()
+
+    with GracefulShutdown() as stop, ckptr:
         for phase, n_steps in enumerate(schedule):
             t0 = time.time()
             n_epochs = (args.phase0_epochs
@@ -249,7 +259,7 @@ def main() -> int:
                     student_cfg["distill_steps"] = n_steps
                     ckpt_path = os.path.join(
                         ckpt_dir, f"distilled_{n_steps}step.msgpack")
-                    save_checkpoint(ckpt_path, {
+                    ckptr.save(ckpt_path, {
                         "epoch_next": ep + 1, "state": student,
                         "loss_hist": losses, "config": dict(student_cfg),
                     })
@@ -259,7 +269,7 @@ def main() -> int:
 
             student_cfg["distill_steps"] = n_steps
             ckpt_path = os.path.join(ckpt_dir, f"distilled_{n_steps}step.msgpack")
-            save_checkpoint(ckpt_path, {
+            ckptr.save(ckpt_path, {
                 "epoch_next": n_epochs, "state": student,
                 "loss_hist": losses, "config": dict(student_cfg),
             })

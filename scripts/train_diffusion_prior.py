@@ -62,6 +62,11 @@ def main() -> int:
     p.add_argument("--ckpt-every", type=int, default=1,
                    help="Save the prior checkpoint every N epochs (always at "
                         "the end; 0 = end only).")
+    p.add_argument("--async-ckpt", type=int, default=1, choices=[0, 1],
+                   help="Overlap checkpoint serialization + disk IO with the "
+                        "next epoch (utils/AsyncCheckpointer); the process "
+                        "waits for the last write before exiting. 0 = "
+                        "synchronous saves.")
     add_shard_flag(p)
     p.add_argument("--shard-pipe", type=int, default=0,
                    help="Pipeline parallelism: place the prior's 8 FiLM "
@@ -111,7 +116,12 @@ def main() -> int:
         make_prior_train_epoch,
         make_prior_train_step,
     )
-    from toycrystals_tpu.utils import GracefulShutdown, load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils import (
+        AsyncCheckpointer,
+        GracefulShutdown,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves, type_titles
 
     rng = np.random.default_rng(args.seed)
@@ -362,7 +372,10 @@ def main() -> int:
     loss_hist = []
     print("starting diffusion training loop.")
     steps_per_epoch = n_items // args.batch_size
-    with GracefulShutdown() as stop:
+    ckptr = AsyncCheckpointer()
+    save_ckpt = ckptr.save if args.async_ckpt else save_checkpoint
+
+    with GracefulShutdown() as stop, ckptr:
         for epoch in range(args.epochs):
             t0 = time.perf_counter()
             key, sub = jax.random.split(key)
@@ -401,7 +414,7 @@ def main() -> int:
             if preempted or (
                 args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0
             ) or (epoch == args.epochs - 1):
-                save_checkpoint(args.prior_ckpt, {
+                save_ckpt(args.prior_ckpt, {
                     "params": unstack_pipeline_params(state.params) if pipe
                     else state.params,
                     "config": {"z_dim": vae_z_dim, "n_types": args.n_types,

@@ -153,6 +153,12 @@ def main() -> int:
                         "end; 0 = end only). The reference saves every epoch; "
                         "on a tunneled TPU each save pulls the full state to "
                         "the host.")
+    p.add_argument("--async-ckpt", type=int, default=1, choices=[0, 1],
+                   help="Overlap checkpoint serialization + disk IO with the "
+                        "next epoch (utils/AsyncCheckpointer). The device-to-"
+                        "host pull stays synchronous (the train step donates "
+                        "its state); the process waits for the last write "
+                        "before exiting. 0 = fully synchronous saves.")
     add_shard_flag(p, space=True)
     p.add_argument("--save-best", type=int, default=0, choices=[0, 1],
                    help="Also write sde_score_model_best.msgpack whenever the "
@@ -184,6 +190,7 @@ def main() -> int:
         make_sde_train_step,
     )
     from toycrystals_tpu.utils import (
+        AsyncCheckpointer,
         GracefulShutdown,
         append_jsonl,
         ensure_file,
@@ -396,7 +403,13 @@ def main() -> int:
     profile_epoch = start_epoch + 1 if args.epochs - start_epoch > 1 else start_epoch
     import contextlib
 
-    with GracefulShutdown() as stop:
+    # Async checkpointing: serialize+write on a background thread while the
+    # next epoch trains; the context manager blocks process exit until the
+    # last write is durable (and re-raises a failed one).
+    ckptr = AsyncCheckpointer()
+    save_ckpt = ckptr.save if args.async_ckpt else save_checkpoint
+
+    with GracefulShutdown() as stop, ckptr:
         for epoch in range(start_epoch, args.epochs):
             profiling = (
                 jax.profiler.trace(args.profile_dir)
@@ -439,12 +452,12 @@ def main() -> int:
             if preempted or (
                 args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0
             ) or (epoch == args.epochs - 1):
-                save_checkpoint(ckpt_path, {
+                save_ckpt(ckpt_path, {
                     "epoch_next": epoch + 1, "state": state,
                     "loss_hist": loss_hist, "config": config,
                 })
             if args.save_best and avg <= min(loss_hist):
-                save_checkpoint(
+                save_ckpt(
                     os.path.join(ckpt_dir, "sde_score_model_best.msgpack"),
                     {"epoch_next": epoch + 1, "state": state,
                      "loss_hist": loss_hist, "config": config},

@@ -58,6 +58,11 @@ def main() -> int:
                         "optimiser state, epoch, loss histories). New scope: "
                         "the reference trainer overwrites vae_last.pt every "
                         "epoch with no resume path (train_vae.py:336).")
+    p.add_argument("--async-ckpt", type=int, default=1, choices=[0, 1],
+                   help="Overlap checkpoint serialization + disk IO with the "
+                        "next epoch (utils/AsyncCheckpointer); the process "
+                        "waits for the last write before exiting. 0 = "
+                        "synchronous saves.")
     add_shard_flag(p)
     p.set_defaults(uncond=False)
     args = p.parse_args()
@@ -76,7 +81,12 @@ def main() -> int:
         make_vae_train_epoch,
         make_vae_train_step,
     )
-    from toycrystals_tpu.utils import GracefulShutdown, load_checkpoint, save_checkpoint
+    from toycrystals_tpu.utils import (
+        AsyncCheckpointer,
+        GracefulShutdown,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from toycrystals_tpu.utils.figures import (
         save_image_grid,
         save_loss_curves,
@@ -178,7 +188,10 @@ def main() -> int:
     print("starting training loop...")
 
     n_batches = n_items // args.batch_size
-    with GracefulShutdown() as stop:
+    ckptr = AsyncCheckpointer()
+    save_ckpt = ckptr.save if args.async_ckpt else save_checkpoint
+
+    with GracefulShutdown() as stop, ckptr:
         for epoch in range(start_epoch, args.epochs):
             beta_eff = args.beta * min(1.0, (epoch + 1) / 5.0)  # warm-up (`train_vae.py:311`)
             t0 = time.perf_counter()
@@ -217,15 +230,16 @@ def main() -> int:
             # `params` stays top-level so the frozen-VAE consumers
             # (train_diffusion_prior.py) keep their schema; the extra fields make
             # the checkpoint resumable.
-            save_checkpoint(ckpt_path, {
+            save_ckpt(ckpt_path, {
                 "params": state.params, "config": config,
                 "opt_state": state.opt_state, "epoch_next": epoch + 1,
                 "hists": {"loss": loss_hist, "recon": recon_hist,
                           "kl": kl_hist, "kl_raw": klr_hist},
             })
             if stop.requested:
-                # Preemption (utils/preempt.py): per-epoch checkpoint above is
-                # already durable; skip the diagnostics grids and exit clean.
+                # Preemption (utils/preempt.py): the per-epoch save above is
+                # durable before process exit (AsyncCheckpointer joins its
+                # writer on context exit); skip diagnostics and exit clean.
                 print(f"preempted ({stop.signame}) after epoch {epoch + 1}: "
                       f"checkpoint saved at {ckpt_path} — continue with --resume")
                 return 0

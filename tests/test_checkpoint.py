@@ -1,13 +1,14 @@
-"""Checkpoint round-trip tests (msgpack single-file format)."""
+"""Checkpoint round-trip tests (msgpack single-file format + async writer)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from toycrystals_tpu.models import CondUNetTiny
 from toycrystals_tpu.train import create_train_state
-from toycrystals_tpu.utils import load_checkpoint, save_checkpoint
+from toycrystals_tpu.utils import AsyncCheckpointer, load_checkpoint, save_checkpoint
 
 K = jax.random.key(0)
 
@@ -51,3 +52,62 @@ def test_missing_file_raises(tmp_path):
         assert False, "expected FileNotFoundError"
     except FileNotFoundError:
         pass
+
+
+def test_crash_mid_write_keeps_previous_checkpoint(tmp_path, monkeypatch):
+    """A failure between tmp-write and rename must leave the existing file
+    intact and loadable (the resume-safety contract of _atomic_write)."""
+    p = tmp_path / "ckpt.msgpack"
+    save_checkpoint(p, {"epoch_next": 1, "w": jnp.ones((4,))})
+
+    import toycrystals_tpu.utils.checkpoint as ckpt_mod
+
+    def boom(src, dst):
+        raise OSError("injected crash before rename")
+
+    monkeypatch.setattr(ckpt_mod.os, "replace", boom)
+    with pytest.raises(OSError, match="injected"):
+        save_checkpoint(p, {"epoch_next": 2, "w": jnp.zeros((4,))})
+    monkeypatch.undo()
+
+    raw = load_checkpoint(p)
+    assert raw["epoch_next"] == 1
+    np.testing.assert_array_equal(raw["w"], np.ones((4,)))
+
+
+def test_async_roundtrip_and_ordering(tmp_path):
+    """Async saves land in submission order; the final file is the last tree."""
+    p = tmp_path / "ckpt.msgpack"
+    with AsyncCheckpointer() as ck:
+        for i in range(3):
+            ck.save(p, {"epoch_next": i, "w": jnp.full((8,), float(i))})
+    raw = load_checkpoint(p)
+    assert raw["epoch_next"] == 2
+    np.testing.assert_array_equal(raw["w"], np.full((8,), 2.0))
+
+
+def test_async_save_is_donation_safe(tmp_path):
+    """save() must complete the device->host pull before returning: a
+    donating step that immediately invalidates the buffers (exactly what
+    every make_*_train_step does between epochs) must not corrupt the
+    in-flight write."""
+    p = tmp_path / "ckpt.msgpack"
+    tree = {"w": jnp.arange(16.0), "b": jnp.ones((4,))}
+    step = jax.jit(lambda t: jax.tree.map(lambda a: a * 2, t), donate_argnums=0)
+    with AsyncCheckpointer() as ck:
+        ck.save(p, tree)
+        tree = step(tree)  # donates (invalidates) the saved tree's buffers
+        jax.block_until_ready(tree)
+    raw = load_checkpoint(p)
+    np.testing.assert_array_equal(raw["w"], np.arange(16.0))
+    np.testing.assert_array_equal(raw["b"], np.ones((4,)))
+
+
+def test_async_write_failure_raises_at_wait(tmp_path):
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file where a directory is needed")
+    ck = AsyncCheckpointer()
+    ck.save(blocker / "sub" / "ckpt.msgpack", {"w": jnp.ones((2,))})
+    with pytest.raises(OSError):
+        ck.wait()
+    ck.wait()  # error is consumed; a second wait is a clean no-op

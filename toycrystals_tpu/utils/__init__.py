@@ -1,4 +1,8 @@
-from toycrystals_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from toycrystals_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
+    load_checkpoint,
+    save_checkpoint,
+)
 from toycrystals_tpu.utils.fidelity import (
     extract_grid_tiles,
     score_grid_png,
@@ -9,6 +13,7 @@ from toycrystals_tpu.utils.preempt import GracefulShutdown
 from toycrystals_tpu.utils.profiling import dispatch_latency, scan_timer
 
 __all__ = [
+    "AsyncCheckpointer",
     "save_checkpoint",
     "load_checkpoint",
     "GracefulShutdown",
