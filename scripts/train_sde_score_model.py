@@ -141,6 +141,15 @@ def main() -> int:
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
                         "per epoch. 0 falls back to one dispatch per batch.")
+    p.add_argument("--stream", type=int, nargs="?", const=2, default=0,
+                   metavar="DEPTH",
+                   help="Stream the archive from HOST memory instead of "
+                        "pinning it in HBM: batches gathered on host as u8 "
+                        "and prefetched to device DEPTH steps ahead "
+                        "(async device_put double-buffering; /255 runs on "
+                        "device — data/stream.py). For archives that "
+                        "outgrow HBM but fit host RAM. Requires "
+                        "--data-path; implies --fused-epoch 0.")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Capture a jax.profiler (XPlane/Perfetto) trace of one "
                         "post-warmup epoch into this directory.")
@@ -252,12 +261,27 @@ def main() -> int:
     # --- data ---
     img_size = args.img_size
     procedural = args.procedural or not args.data_path
+    if args.stream:
+        if procedural:
+            raise SystemExit("--stream needs --data-path (the procedural "
+                             "dataset already renders on device)")
+        if args.fused_epoch:
+            print("--stream: per-batch dispatch path (the fused-epoch "
+                  "program needs the archive resident in HBM)")
+            args.fused_epoch = 0
     if procedural:
         cfg = LatticeConfig(img_size=img_size, n_types=args.n_types, rot_only=True)
         n_items = args.n_samples
 
         def get_batch(idx):
             return generate_batch(cfg, args.seed, jnp.asarray(idx))
+    elif args.stream:
+        from toycrystals_tpu.data import StreamingDiskDataset
+
+        sds = StreamingDiskDataset(args.data_path)
+        n_items = len(sds)
+        img_size = int(sds.x_u8.shape[1])
+        get_batch = None  # streaming epochs build their own iterator
     else:
         ds = ResidentDiskDataset(args.data_path)
         if args.fused_epoch:
@@ -332,8 +356,25 @@ def main() -> int:
             model, tx, sde, args.n_types, args.p_uncond, args.t_power,
             args.ema_decay, args.param, args.grad_accum,
         )
-        _get_batch = get_batch
-        get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))
+        if get_batch is not None:
+            _get_batch = get_batch
+            get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))
+
+    def device_batches(epoch_rng):
+        """One epoch of device-resident batches, either path."""
+        idx_it = batch_iterator(n_items, args.batch_size, rng=epoch_rng)
+        if args.stream:
+            from toycrystals_tpu.data import prefetch_to_device, to_f01
+
+            host_it = (sds.host_batch(b) for b in idx_it)
+            place = (lambda b: shard_batch(mesh, b)) if mesh is not None else None
+            for x_u8, y_cat, y_cont in prefetch_to_device(
+                host_it, size=args.stream, place=place
+            ):
+                yield to_f01(x_u8), y_cat, y_cont
+        else:
+            for bidx in idx_it:
+                yield get_batch(bidx)
 
     # Self-describing config embedded in the ckpt (`train_sde_score_model.py:179-192`).
     config = {
@@ -425,8 +466,7 @@ def main() -> int:
             else:
                 with profiling:
                     losses = []
-                    for bidx in batch_iterator(n_items, args.batch_size, rng=rng):
-                        x0, y_cat, y_cont = get_batch(bidx)
+                    for x0, y_cat, y_cont in device_batches(rng):
                         sub, k_step = jax.random.split(sub)
                         state, loss = step(state, x0, y_cat, y_cont, k_step)
                         losses.append(loss)

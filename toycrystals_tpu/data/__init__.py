@@ -18,6 +18,11 @@ from toycrystals_tpu.data.datasets import (
     generate_batch,
     batch_iterator,
 )
+from toycrystals_tpu.data.stream import (
+    StreamingDiskDataset,
+    prefetch_to_device,
+    to_f01,
+)
 
 __all__ = [
     "LatticeConfig",
@@ -34,4 +39,7 @@ __all__ = [
     "ToyCrystalsDiskDataset",
     "generate_batch",
     "batch_iterator",
+    "StreamingDiskDataset",
+    "prefetch_to_device",
+    "to_f01",
 ]

@@ -1,0 +1,86 @@
+"""Streaming host->device input pipeline (double-buffered prefetch).
+
+The default data paths keep everything in device memory: the procedural
+dataset renders batches on device and `ResidentDiskDataset` pins the whole
+u8 archive in HBM (scripts/_common.py). That is the fast path while the
+archive fits — but a 200k x 256x256 build is ~13 GiB of u8 and outgrows a
+v5e chip's HBM while still fitting host RAM easily.
+
+`StreamingDiskDataset` + `prefetch_to_device` are the TPU-idiomatic
+equivalent of the reference's `DataLoader(num_workers>0, pin_memory=True)`
+prefetching (`/root/reference/scripts/train_vae.py:262-269`):
+
+- the archive stays on the HOST as numpy u8;
+- batches are gathered on host and shipped u8 (4x fewer PCIe bytes than
+  f32; the /255 normalisation runs on device);
+- `jax.device_put` is asynchronous, so keeping `size` batches in flight
+  overlaps every host->device copy with the previous step's compute — the
+  input pipeline costs ~zero wall-clock once the first batch lands.
+
+Enable with `--stream` on the SDE trainer (forces the per-batch dispatch
+path; the fused-epoch program requires the archive resident in HBM).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from pathlib import Path
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamingDiskDataset:
+    """Host-resident archive streamed to device batch by batch.
+
+    Same .npz contract as `ToyCrystalsDiskDataset` (x_u8 [N,H,W,1] u8,
+    y_cat [N], y_cont [N,4]); `host_batch(idx)` gathers on host and keeps
+    images uint8 — convert with `to_f01` after the batch is on device.
+    """
+
+    def __init__(self, path: str | Path) -> None:
+        obj = np.load(Path(path))
+        self.x_u8: np.ndarray = obj["x_u8"]
+        self.y_cat: np.ndarray = obj["y_cat"].astype(np.int32)
+        self.y_cont: np.ndarray = obj["y_cont"].astype(np.float32)
+        if self.x_u8.ndim == 4 and self.x_u8.shape[1] == 1 and self.x_u8.shape[-1] != 1:
+            self.x_u8 = np.transpose(self.x_u8, (0, 2, 3, 1))  # tolerate NCHW
+
+    def __len__(self) -> int:
+        return int(self.x_u8.shape[0])
+
+    def host_batch(self, idx) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        idx = np.asarray(idx)
+        return self.x_u8[idx], self.y_cat[idx], self.y_cont[idx]
+
+
+def to_f01(x_u8: jax.Array) -> jax.Array:
+    """u8 [0,255] -> f32 [0,1], on device (keeps the H2D copy 4x smaller)."""
+    return x_u8.astype(jnp.float32) / np.float32(255.0)
+
+
+def prefetch_to_device(
+    batches: Iterable[Any],
+    size: int = 2,
+    place: Callable[[Any], Any] | None = None,
+) -> Iterator[Any]:
+    """Yield device-side pytrees `size` items ahead of consumption.
+
+    `place` maps a host pytree onto devices (default: plain
+    `jax.device_put`; pass `lambda b: shard_batch(mesh, b)` under a mesh so
+    each batch lands directly on its shard owners). Because device_put is
+    asynchronous, the copies for the queued batches run while the consumer's
+    jitted step executes — double buffering with no threads.
+    """
+    if size < 1:
+        raise ValueError(f"prefetch size must be >= 1, got {size}")
+    put = place if place is not None else jax.device_put
+    queue: deque[Any] = deque()
+    for item in batches:
+        queue.append(put(item))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
