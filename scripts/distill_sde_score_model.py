@@ -44,8 +44,10 @@ def main() -> int:
 
     # data (same contract as the SDE trainer: procedural on-device datagen
     # or a resident disk archive)
-    p.add_argument("--procedural", action="store_true", default=True,
-                   help="rasterize rot-only batches on device (default)")
+    p.add_argument("--procedural", action="store_true",
+                   help="rasterize rot-only batches on device (default when "
+                        "no --data-path; overrides --data-path when both are "
+                        "given, same semantics as the SDE trainer)")
     p.add_argument("--data-path", type=str, default=None,
                    help="npz archive instead of --procedural")
     p.add_argument("--n-samples", type=int, default=50_000,
@@ -189,7 +191,7 @@ def main() -> int:
     # ---- data + mesh -------------------------------------------------------
     mesh = setup_mesh(args.shard, args.batch_size)
     data_kw: dict = {}
-    if args.data_path:
+    if args.data_path and not args.procedural:
         ds = ResidentDiskDataset(args.data_path)
         data_kw = {"resident": (ds.x_u8, ds.y_cat, ds.y_cont)}
         n_items = len(ds)
@@ -302,7 +304,8 @@ def main() -> int:
                     x[: args.grid_n], y_cat_g[: args.grid_n],
                     np.asarray(y_cont_g)[: args.grid_n, 1],
                     n_types=n_types, theta_max=args.theta_max)
-                line = {"steps": n_steps, "final_loss": losses[-1],
+                line = {"steps": n_steps,
+                        "final_loss": losses[-1] if losses else None,
                         "type_acc": score["type_acc"],
                         "type_acc_merged01": score["type_acc_merged01"],
                         "theta_mae_deg": score["theta_mae_deg"],

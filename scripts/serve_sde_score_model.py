@@ -124,13 +124,21 @@ def make_handler(service, batcher):
             except Exception as e:  # noqa: BLE001 — report, don't kill the thread
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            if fmt == "png":
-                from toycrystals_tpu.serve import grid_png_bytes
+            try:
+                # serialization failures (huge PNG grids / .tolist JSON) must
+                # answer like every other error, not reset the connection
+                if fmt == "png":
+                    from toycrystals_tpu.serve import grid_png_bytes
 
-                self._send(200, grid_png_bytes(x), "image/png")
-            else:
-                self._send_json(200, {"shape": list(x.shape),
-                                      "images": x[..., 0].tolist()})
+                    body, ctype = grid_png_bytes(x), "image/png"
+                else:
+                    body = json.dumps({"shape": list(x.shape),
+                                       "images": x[..., 0].tolist()}).encode()
+                    ctype = "application/json"
+            except Exception as e:  # noqa: BLE001
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send(200, body, ctype)
 
     return Handler
 
@@ -197,9 +205,8 @@ def main(argv=None) -> int:
     print(f"serving: sampler={service.sampler_name} steps={service.steps} "
           f"cfg={service.guidance_scale} buckets={list(service.buckets)}")
     if args.warmup:
-        for b in service.buckets:
-            print(f"warmup: compiling bucket {b} ...")
-            service.sample_conditions([0] * b, seed=0)
+        print(f"warmup: compiling buckets {list(service.buckets)} ...")
+        service.warmup()
 
     srv = make_server(service, args.host, args.port, window_ms=args.window_ms)
     print(f"listening on http://{srv.server_address[0]}:{srv.server_address[1]}"
@@ -208,12 +215,16 @@ def main(argv=None) -> int:
     # Graceful drain on SIGTERM (pod scale-down/preemption): stop accepting,
     # finish in-flight dispatches, exit 0. shutdown() must run off the main
     # thread — it blocks until serve_forever (running HERE) returns.
+    import os
     import signal
     import threading
 
     def _drain(signum, frame):
-        print(f"\n{signal.Signals(signum).name} received — draining and "
-              "shutting down", flush=True)
+        # os.write, not print(): the handler may interrupt the main thread
+        # mid-print and a buffered-writer re-entry would raise instead of
+        # draining (same hazard utils/preempt.py documents)
+        os.write(2, (f"\n{signal.Signals(signum).name} received — draining "
+                     "and shutting down\n").encode())
         threading.Thread(target=srv.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _drain)

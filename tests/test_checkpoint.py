@@ -111,3 +111,15 @@ def test_async_write_failure_raises_at_wait(tmp_path):
     with pytest.raises(OSError):
         ck.wait()
     ck.wait()  # error is consumed; a second wait is a clean no-op
+
+
+def test_exit_does_not_mask_body_exception(tmp_path, capsys):
+    # unwinding on an in-body exception (divergence SystemExit, ^C): a failed
+    # background write must be REPORTED, not replace the original exception
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file where a directory is needed")
+    with pytest.raises(SystemExit, match="diverged"):
+        with AsyncCheckpointer() as ck:
+            ck.save(blocker / "sub" / "ckpt.msgpack", {"w": jnp.ones((2,))})
+            raise SystemExit("training diverged")
+    assert "async checkpoint write failed" in capsys.readouterr().err

@@ -153,6 +153,31 @@ def test_microbatcher_coalesces_and_splits(ckpts):
         mb.close()
 
 
+def test_submit_after_close_raises(ckpts):
+    plain, _ = ckpts
+    svc = ScoreModelService(plain, steps=2, buckets=(2,))
+    mb = MicroBatcher(svc, window_ms=1)
+    mb.close()
+    with pytest.raises(RuntimeError):  # no worker left: a Future would hang
+        mb.submit([0])
+    mb.close()  # idempotent
+
+
+def test_stats_readable_while_dispatch_lock_held(ckpts):
+    # GET /stats must never block behind an in-flight sampling dispatch,
+    # which holds the service dispatch lock for the whole (possibly
+    # minutes-long chunked) call — counters live under their own lock.
+    plain, _ = ckpts
+    svc = ScoreModelService(plain, steps=2, buckets=(2,))
+    got = {}
+    with svc._lock:  # simulate a dispatch in flight
+        t = threading.Thread(target=lambda: got.update(svc.stats))
+        t.start()
+        t.join(timeout=10)
+        assert not t.is_alive(), "stats blocked on the dispatch lock"
+    assert got["requests"] == 0 and got["buckets"] == [2]
+
+
 def test_grid_png_bytes(ckpts):
     plain, _ = ckpts
     svc = ScoreModelService(plain, steps=2, buckets=(2,))

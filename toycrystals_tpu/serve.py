@@ -182,13 +182,17 @@ class ScoreModelService:
         self.buckets = tuple(sorted({-(-b // mult) * mult for b in ladder}))
 
         self._lock = threading.Lock()  # one dispatch at a time per chip
+        # counters get their own lock: the dispatch lock is held for the
+        # whole sampling call (minutes for a chunked 300-step request) and
+        # a monitoring GET /stats must never block on it
+        self._stats_lock = threading.Lock()
         self._stats = {"requests": 0, "images": 0, "dispatches": 0}
         self._exec_cache: dict[int, Any] = {}
 
     # --- introspection -----------------------------------------------------
     @property
     def stats(self) -> dict[str, Any]:
-        with self._lock:
+        with self._stats_lock:
             s = dict(self._stats)
         s.update(buckets=list(self.buckets), sampler=self.sampler_name,
                  steps=self.steps, guidance_scale=self.guidance_scale,
@@ -294,9 +298,7 @@ class ScoreModelService:
             with self._lock:
                 x = self._bucket_executable(bucket)(
                     self.params, yc, yv, np.uint32(seed))
-                self._stats["requests"] += 1
-                self._stats["images"] += n
-                self._stats["dispatches"] += 1
+            self._count(n, 1)
             return np.asarray(x, np.float32)[:n]
 
         import jax
@@ -317,10 +319,14 @@ class ScoreModelService:
                 t_end=self.t_end, n_types=self.n_types, clip_x0=self.clip_x0,
                 **sp_kw, **self._extra_kw,
             )
-            self._stats["requests"] += 1
-            self._stats["images"] += n
-            self._stats["dispatches"] += -(-n // bucket)
+        self._count(n, -(-n // bucket))
         return np.asarray(x, np.float32)
+
+    def _count(self, images: int, dispatches: int) -> None:
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["images"] += images
+            self._stats["dispatches"] += dispatches
 
     def sample_conditions(self, types, thetas=None, *, seed: int = 0) -> np.ndarray:
         y_cat, y_cont = self.conditions(types, thetas)
@@ -353,23 +359,30 @@ class MicroBatcher:
         self._dispatches = 0
         self._coalesced = 0
         self._base_seed = int(base_seed)
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, types, thetas=None) -> Future:
         """Enqueue a request; the Future resolves to (n, H, W, 1) float32."""
+        if self._closed:
+            # after close() no worker will ever drain the queue — a silently
+            # enqueued Future would hang its caller's .result() forever
+            raise RuntimeError("MicroBatcher is closed")
         y_cat, y_cont = self.service.conditions(types, thetas)  # validate now
         fut: Future = Future()
         self._q.put((np.asarray(y_cat), np.asarray(y_cont), fut))
         return fut
 
     def close(self, timeout: float | None = None) -> None:
-        """Drain the queue and stop the worker.
+        """Drain the queue and stop the worker; later submits raise.
 
         Blocks until every already-submitted request has been dispatched and
         its Future resolved (the drain contract callers rely on at shutdown);
         pass a timeout only when abandoning in-flight work is acceptable."""
-        self._q.put(None)
+        if not self._closed:
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=timeout)
 
     @property

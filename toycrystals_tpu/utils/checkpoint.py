@@ -114,7 +114,20 @@ class AsyncCheckpointer:
     def __enter__(self) -> "AsyncCheckpointer":
         return self
 
-    def __exit__(self, *exc: object) -> None:
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc is not None:
+            # unwinding on an in-body exception (divergence SystemExit, ^C):
+            # still join the writer, but don't let a failed background write
+            # REPLACE the original exception — report it and let the body's
+            # exception propagate
+            try:
+                self.wait()
+            except BaseException as werr:  # noqa: BLE001
+                import sys
+
+                print(f"warning: async checkpoint write failed during "
+                      f"shutdown: {werr!r}", file=sys.stderr)
+            return
         self.wait()
 
 
