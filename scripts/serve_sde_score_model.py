@@ -48,6 +48,13 @@ def _parse_request(handler) -> dict:
             raise ValueError(f"bad JSON body: {e}") from e
         if not isinstance(req, dict):
             raise ValueError("body must be a JSON object")
+        # query-string params ("POST /sample?format=png") act as fallbacks
+        # under the body — otherwise they'd be silently ignored
+        q = parse_qs(urlparse(handler.path).query)
+        if "format" in q:
+            req.setdefault("format", q["format"][0])
+        if "seed" in q:
+            req.setdefault("seed", int(q["seed"][0]))
         return req
     q = parse_qs(urlparse(handler.path).query)
     req: dict = {}

@@ -231,6 +231,14 @@ def test_http_sample_json_and_png(server):
     code, ctype, body = _post(server + "/sample",
                               {"types": [0], "format": "png", "seed": 3})
     assert code == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
+    # query-string fallback on POST: ?format=png without a body "format" key
+    code, ctype, body = _post(server + "/sample?format=png&seed=3",
+                              {"types": [0]})
+    assert code == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
+    # the body still wins over the query string
+    code, ctype, _ = _post(server + "/sample?format=png",
+                           {"types": [0], "format": "json"})
+    assert code == 200 and ctype == "application/json"
 
 
 def test_http_sample_get_query(server):
