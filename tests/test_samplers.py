@@ -273,3 +273,110 @@ def test_grid_conditions_convention():
     assert th[0] == 0.0 and abs(th[-1] - np.pi / 3) < 1e-6
     assert np.all(np.diff(th) > 0)
     assert np.all(np.asarray(ycont[:, [0, 2, 3]]) == 0)
+
+
+class TestInpainting:
+    """sample_inpaint_reverse_sde: mask-conditioned generation (new TPU
+    scope — no reference counterpart; replacement method + RePaint
+    harmonisation)."""
+
+    def _setup(self):
+        apply_fn, v = _tiny_unet()
+        sde = VPSDE(0.1, 30.0)
+        b, hw = 4, 16
+        yc = jnp.arange(b, dtype=jnp.int32) % 4
+        yv = jnp.zeros((b, 4))
+        xk = jnp.clip(jax.random.uniform(jax.random.key(1), (b, hw, hw, 1)), 0, 1)
+        mask = jnp.zeros((b, hw, hw, 1)).at[:, :, :8, :].set(1.0)
+        return apply_fn, v, sde, yc, yv, xk, mask, (b, hw, hw, 1)
+
+    def test_known_region_preserved_and_deterministic(self):
+        from toycrystals_tpu.models import sample_inpaint_reverse_sde
+
+        af, v, sde, yc, yv, xk, mask, shape = self._setup()
+        out = sample_inpaint_reverse_sde(
+            af, v, sde, yc, yv, shape, jax.random.key(2), n_steps=4,
+            guidance_scale=1.5, x_known=xk, mask=mask)
+        out2 = sample_inpaint_reverse_sde(
+            af, v, sde, yc, yv, shape, jax.random.key(2), n_steps=4,
+            guidance_scale=1.5, x_known=xk, mask=mask)
+        assert out.shape == shape
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+        # masked-in pixels are EXACTLY the known image; everything in [0,1]
+        np.testing.assert_array_equal(np.asarray(out)[:, :, :8],
+                                      np.asarray(xk)[:, :, :8])
+        o = np.asarray(out)
+        assert np.all((o >= 0.0) & (o <= 1.0))
+        # the generated half actually differs from the (random) source
+        assert not np.allclose(o[:, :, 8:], np.asarray(xk)[:, :, 8:])
+
+    def test_all_known_mask_is_identity(self):
+        from toycrystals_tpu.models import sample_inpaint_reverse_sde
+
+        af, v, sde, yc, yv, xk, _, shape = self._setup()
+        out = sample_inpaint_reverse_sde(
+            af, v, sde, yc, yv, shape, jax.random.key(3), n_steps=2,
+            x_known=xk, mask=jnp.ones_like(xk))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(xk))
+
+    def test_resample_changes_result_and_stays_finite(self):
+        from toycrystals_tpu.models import sample_inpaint_reverse_sde
+
+        af, v, sde, yc, yv, xk, mask, shape = self._setup()
+        base = sample_inpaint_reverse_sde(
+            af, v, sde, yc, yv, shape, jax.random.key(2), n_steps=4,
+            x_known=xk, mask=mask)
+        r3 = sample_inpaint_reverse_sde(
+            af, v, sde, yc, yv, shape, jax.random.key(2), n_steps=4,
+            resample=3, x_known=xk, mask=mask)
+        assert np.isfinite(np.asarray(r3)).all()
+        assert not np.allclose(np.asarray(r3), np.asarray(base))
+        np.testing.assert_array_equal(np.asarray(r3)[:, :, :8],
+                                      np.asarray(xk)[:, :, :8])
+        with pytest.raises(ValueError, match="resample"):
+            sample_inpaint_reverse_sde(
+                af, v, sde, yc, yv, shape, jax.random.key(2), n_steps=2,
+                resample=0, x_known=xk, mask=mask)
+
+    def test_chunked_dispatch_with_batch_kw(self):
+        from toycrystals_tpu.models import sample_chunked, sample_inpaint_reverse_sde
+
+        af, v, sde, yc, yv, xk, mask, shape = self._setup()
+        out = sample_chunked(
+            sample_inpaint_reverse_sde, af, v, sde, yc, yv, shape,
+            jax.random.key(4), chunk=3, n_steps=2,
+            batch_kw={"x_known": xk, "mask": mask})
+        assert out.shape == shape
+        np.testing.assert_array_equal(out[:, :, :8], np.asarray(xk)[:, :, :8])
+
+    def test_cli_end_to_end(self, tmp_path, monkeypatch):
+        """Tiny checkpoint -> inpaint CLI -> figure + JSON metrics line."""
+        import runpy
+        import sys
+        from pathlib import Path
+
+        import flax.serialization
+
+        from toycrystals_tpu.utils.checkpoint import save_checkpoint
+
+        u = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+        x = jnp.zeros((2, 16, 16, 1))
+        v = u.init(K, x, jnp.zeros((2,)), jnp.array([0, 1]), jnp.zeros((2, 4)))
+        ckpt = tmp_path / "checkpoints" / "sde_score_model_last.msgpack"
+        save_checkpoint(ckpt, {
+            "state": {"params": v["params"], "ema_params": None},
+            "config": {"img_ch": 1, "n_types": 4, "y_cont_dim": 4,
+                       "base_ch": 8, "emb_dim": 16, "cond_ch": 8,
+                       "time_ch": 8, "beta_min": 0.1, "beta_max": 30.0,
+                       "param": "eps", "img_size": 16},
+        })
+        script = Path(__file__).resolve().parent.parent / "scripts" / "inpaint_sde_score_model.py"
+        monkeypatch.setattr(sys, "argv", [
+            str(script), "--out-dir", str(tmp_path), "--device", "cpu",
+            "--n", "2", "--steps", "2", "--mask", "left", "--mask-frac", "0.5"])
+        monkeypatch.syspath_prepend(str(script.parent))
+        with pytest.raises(SystemExit) as e:
+            runpy.run_path(str(script), run_name="__main__")
+        assert e.value.code == 0
+        outs = list((tmp_path / "results").glob("inpaint_*.png"))
+        assert len(outs) == 1

@@ -704,6 +704,108 @@ def sample_ddim(
     return jnp.clip((x0 + 1.0) * 0.5, 0.0, 1.0)
 
 
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11, 12, 13))
+def sample_inpaint_reverse_sde(
+    apply_fn: Callable[..., jax.Array],
+    params: Any,
+    sde: VPSDE,
+    y_cat: jax.Array,
+    y_cont: jax.Array,
+    img_shape: tuple[int, int, int, int],
+    key: jax.Array,
+    n_steps: int = 300,
+    guidance_scale: float = 0.0,
+    t_end: float = 1e-3,
+    n_types: int = 4,
+    resample: int = 1,
+    clip_x0: bool = False,
+    sharding=None,
+    *,
+    x_known: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Mask-conditioned generation (inpainting) via the reverse SDE — one
+    lax.scan (NEW TPU scope; the reference has no conditional-completion
+    path, only full-image samplers, `sde_score_model.py:452-569`).
+
+    The base update is identical to `sample_reverse_sde_euler_maruyama`;
+    after each Euler-Maruyama step the KNOWN region is overwritten with an
+    exact VP-SDE forward-marginal sample of `x_known` at the new time
+    (the replacement method of Song et al. 2021's controllable-generation
+    appendix). With `resample > 1` each step additionally runs RePaint-style
+    harmonisation (Lugmayr et al. 2022): diffuse the merged image one step
+    back (exact q(x_t | x_{t_next}) bridge) and redo the reverse step
+    `resample` times, which lets the generated region adapt to the known
+    boundary instead of merely abutting it — at `resample`x the model evals.
+
+    x_known: (b, h, w, 1) in DATA space [0, 1] (as loaded/produced by the
+      dataset or a sampler grid); mapped to the model's [-1, 1] internally.
+    mask:    (b, h, w, 1); 1 = keep pixel from x_known, 0 = generate.
+      Any float in between soft-blends, but {0, 1} is the intended use.
+    The returned image satisfies out == clip(x_known) exactly where mask==1.
+    """
+    t_end = _check_t_end(t_end)
+    if resample < 1:
+        raise ValueError(f"resample must be >= 1, got {resample}")
+    b, h, w, c = img_shape
+    assert c == 1
+    gs = float(guidance_scale)
+    pin = _make_pin(sharding)
+
+    x_known = jnp.clip(x_known.astype(jnp.float32), 0.0, 1.0)
+    x0k = x_known * 2.0 - 1.0  # data [0,1] -> model [-1,1] (`:377-379` scale)
+    mask = mask.astype(jnp.float32)
+
+    ts = _quadratic_grid(n_steps, t_end)
+    k_init, k_noise = jax.random.split(key)
+    x = pin(jax.random.normal(k_init, (b, h, w, c), jnp.float32))
+
+    def body(x, step):
+        t, t_next, i = step
+        tb = jnp.full((b,), t)
+        tn = jnp.full((b,), t_next)
+        dt = t_next - t  # negative
+        beta_t = sde.beta(tb).reshape(b, 1, 1, 1)
+        a_t = sde.alpha(tb).reshape(b, 1, 1, 1)
+        s_t = sde.sigma(tb).reshape(b, 1, 1, 1)
+        a_n = sde.alpha(tn).reshape(b, 1, 1, 1)
+        s_n = sde.sigma(tn).reshape(b, 1, 1, 1)
+        ki = jax.random.fold_in(k_noise, i)
+
+        def inner(r, x):
+            kr = jax.random.fold_in(ki, r)
+            # reverse EM update t -> t_next (same math as the plain sampler)
+            eps_hat = predict_eps_cfg(apply_fn, params, x, tb, y_cat, y_cont, gs, n_types)
+            eps_hat = _maybe_clip_eps(eps_hat, x, a_t, s_t, clip_x0)
+            score = -eps_hat / s_t
+            drift = (-0.5 * beta_t * x) - (beta_t * score)
+            z = jax.random.normal(jax.random.fold_in(kr, 0), x.shape, x.dtype)
+            x = x + drift * dt + jnp.sqrt(beta_t) * jnp.sqrt(jnp.abs(dt)) * z
+            # known region: exact forward marginal of x_known at t_next
+            zk = jax.random.normal(jax.random.fold_in(kr, 1), x.shape, x.dtype)
+            x = mask * (a_n * x0k + s_n * zk) + (1.0 - mask) * x
+            if resample > 1:
+                # RePaint jump: exact forward bridge q(x_t | x_{t_next}) for
+                # the VP-SDE — x_t = (a_t/a_n) x_{t_next} + sqrt(s_t^2 -
+                # (a_t/a_n)^2 s_n^2) z — except after the final repeat
+                ratio = a_t / jnp.clip(a_n, min=1e-6)
+                sig = jnp.sqrt(jnp.clip(s_t**2 - ratio**2 * s_n**2, min=0.0))
+                z2 = jax.random.normal(jax.random.fold_in(kr, 2), x.shape, x.dtype)
+                x = jnp.where(r < resample - 1, ratio * x + sig * z2, x)
+            return pin(x)
+
+        if resample > 1:
+            x = jax.lax.fori_loop(0, resample, inner, x)
+        else:
+            x = inner(0, x)
+        return x, None
+
+    steps = (ts[:-1], ts[1:], jnp.arange(n_steps))
+    x, _ = jax.lax.scan(body, x, steps)
+    x0 = _x0_projection(apply_fn, params, sde, x, ts[-1], y_cat, y_cont, gs, n_types, b)
+    return mask * x_known + (1.0 - mask) * x0
+
+
 def auto_chunk(img_size: int, n_steps: int, sampler: str = "sde") -> int:
     """Largest per-dispatch sample batch that keeps one compiled sampling
     scan under the tunneled-TPU per-dispatch duration cap (~1-2 min;
@@ -729,6 +831,7 @@ def sample_chunked(
     *,
     chunk: int,
     mesh=None,
+    batch_kw: dict[str, jax.Array] | None = None,
     **kw,
 ):
     """Split one big sampling batch into fixed-size compiled dispatches.
@@ -745,7 +848,11 @@ def sample_chunked(
 
     Each chunk folds its start index into `key` (results are statistically
     identical to, but differ bitwise from, a single unchunked dispatch).
-    Chunks are pulled to the host as they finish; returns an np.ndarray."""
+    Chunks are pulled to the host as they finish; returns an np.ndarray.
+
+    batch_kw: extra per-item arrays (leading dim == n) passed to sampler_fn
+    by keyword, sliced/padded/placed per chunk exactly like the condition
+    rows — e.g. `x_known`/`mask` for `sample_inpaint_reverse_sde`."""
     import numpy as np
 
     n, h, w, c = img_shape
@@ -777,12 +884,16 @@ def sample_chunked(
         take = min(chunk, n - i0)
         yc = pad(y_cat[i0:i0 + take], chunk - take)
         yv = pad(y_cont[i0:i0 + take], chunk - take)
+        bkw = {k: pad(v[i0:i0 + take], chunk - take)
+               for k, v in (batch_kw or {}).items()}
         if mesh is not None:
             yc = jax.device_put(yc, data_sharding(mesh, yc.ndim))
             yv = jax.device_put(yv, data_sharding(mesh, yv.ndim))
+            bkw = {k: jax.device_put(v, data_sharding(mesh, v.ndim))
+                   for k, v in bkw.items()}
         x = sampler_fn(
             apply_fn, params, sde, yc, yv, (chunk, h, w, c),
-            jax.random.fold_in(key, i0), **kw,
+            jax.random.fold_in(key, i0), **kw, **bkw,
         )
         outs.append(np.asarray(jax.device_get(x))[:take])
     return np.concatenate(outs, axis=0)
