@@ -53,7 +53,12 @@ class StreamingDiskDataset:
 
     def host_batch(self, idx) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         idx = np.asarray(idx)
-        return self.x_u8[idx], self.y_cat[idx], self.y_cont[idx]
+        # image rows go through the native threaded gather (multi-GiB
+        # archives are memcpy-bound; numpy indexes on one core) — the label
+        # gathers are a few KiB, numpy is fine
+        from toycrystals_tpu.data.native_gather import take_rows
+
+        return take_rows(self.x_u8, idx), self.y_cat[idx], self.y_cont[idx]
 
 
 def to_f01(x_u8: jax.Array) -> jax.Array:
