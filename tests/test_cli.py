@@ -206,3 +206,35 @@ def test_09_lr_schedule_and_grad_accum(workdir):
         "--out-dir", "runs/lrs", "--resume", cwd=workdir,
     )
     assert "resumed from" in r.stdout and "epoch 002/2" in r.stdout
+
+
+def test_10_eval_cli(workdir):
+    """Standalone evaluator: samples a canonical-conditions batch through the
+    serving runtime and reports the lattice-fidelity scalars as one JSON
+    line, plus an optional saved grid and full per-sample JSON; grid-png
+    mode re-scores a committed figure."""
+    r = run(
+        "eval_sde_score_model.py", "--ckpt",
+        "runs/t/checkpoints/sde_score_model_last.msgpack",
+        "--sampler", "sde", "--steps", "2", "--cfg", "0", "--n", "9",
+        "--save-grid", "runs/t/results/eval_grid.png",
+        "--json-out", "runs/t/results/eval.json", cwd=workdir,
+    )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    for k in ("cond_fidelity", "type_acc", "type_acc_merged01",
+              "theta_mae_deg"):
+        assert k in rec, rec
+    assert 0.0 <= rec["cond_fidelity"] <= 1.0
+    assert (workdir / "runs/t/results/eval_grid.png").exists()
+    full = json.loads((workdir / "runs/t/results/eval.json").read_text())
+    assert len(full["pred_type"]) == 9
+    # grid-png mode on the just-saved 3x3 figure (tile recovery + scoring)
+    r = run(
+        "eval_sde_score_model.py", "--grid", "runs/t/results/eval_grid.png",
+        "--grid-rows", "3", "--grid-cols", "3", cwd=workdir,
+    )
+    rec = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert rec["grid"].endswith("eval_grid.png")
+    assert 0.0 <= rec["cond_fidelity"] <= 1.0
