@@ -137,6 +137,17 @@ def main() -> int:
                         "(randomness drawn once per batch). The memory "
                         "lever for 256x256 training. batch-size must "
                         "divide by N (and by N x --shard together).")
+    p.add_argument("--skip-nonfinite", type=int, default=0, metavar="K",
+                   help="Production guard for long bf16 runs: skip optimizer/"
+                        "EMA updates whose gradients contain NaN/Inf, up to K "
+                        "consecutive times (optax.apply_if_finite; params/"
+                        "opt/EMA untouched on a skipped step, skips counted "
+                        "and reported per epoch). After K consecutive bad "
+                        "steps the NaNs propagate and the divergence guard "
+                        "halts with the last good checkpoint intact. 0 "
+                        "disables (reference semantics). Changes the "
+                        "optimizer-state layout: pass the same value when "
+                        "resuming.")
     p.add_argument("--fused-epoch", type=int, default=1, choices=[0, 1],
                    help="Compile each whole epoch (shuffle + datagen/gather + "
                         "all steps) as ONE program — zero host round-trips "
@@ -337,6 +348,13 @@ def main() -> int:
             print(f"lr schedule: constant {args.lr:g} after "
                   f"{args.warmup_steps} warmup steps")
     tx = optax.adam(lr)
+    if args.skip_nonfinite > 0:
+        # reject NaN/Inf gradient steps in the compiled update itself — the
+        # optimizer state, params and EMA pass through untouched on a
+        # skipped step (total skips surface per epoch below)
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=args.skip_nonfinite)
+        print(f"non-finite-gradient guard: skipping up to "
+              f"{args.skip_nonfinite} consecutive bad steps")
     if args.ema_decay != 0.0 and not (0.0 < args.ema_decay < 1.0):
         raise ValueError("--ema-decay must be in (0,1) or 0 to disable.")
     state = create_train_state(params, tx, ema=args.ema_decay > 0.0)
@@ -350,6 +368,7 @@ def main() -> int:
             mesh=mesh,
             parameterization=args.param,
             grad_accum=args.grad_accum,
+            nan_safe_metrics=args.skip_nonfinite > 0,
         )
     else:
         step = make_sde_train_step(
@@ -470,7 +489,8 @@ def main() -> int:
                         sub, k_step = jax.random.split(sub)
                         state, loss = step(state, x0, y_cat, y_cont, k_step)
                         losses.append(loss)
-                    avg = float(jnp.mean(jnp.stack(losses)))
+                    _mean = jnp.nanmean if args.skip_nonfinite > 0 else jnp.mean
+                    avg = float(_mean(jnp.stack(losses)))
             dt = time.perf_counter() - t0
             if not math.isfinite(avg):
                 # Divergence guard (new TPU scope — the reference trains on
@@ -484,7 +504,15 @@ def main() -> int:
                 )
             loss_hist.append(avg)
             ips = steps_per_epoch * args.batch_size / dt
-            print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} ({ips:.0f} img/s)")
+            skipped = ""
+            if args.skip_nonfinite > 0:
+                # apply_if_finite keeps a running skip counter in the
+                # wrapped opt_state; one scalar pull per epoch
+                total_nf = int(jax.device_get(state.opt_state.total_notfinite))
+                if total_nf:
+                    skipped = f" [{total_nf} non-finite steps skipped so far]"
+            print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} "
+                  f"({ips:.0f} img/s){skipped}")
 
             # single read per epoch: a signal landing between two reads must
             # not let the preempt branch claim a save that never happened

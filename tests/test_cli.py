@@ -195,15 +195,16 @@ def test_09_lr_schedule_and_grad_accum(workdir):
         "--epochs", "1", "--batch-size", "16", "--base-ch", "8",
         "--emb-dim", "16", "--sample-every", "99",
         "--lr-schedule", "cosine", "--warmup-steps", "2", "--grad-accum", "2",
-        "--out-dir", "runs/lrs", cwd=workdir,
+        "--skip-nonfinite", "2", "--out-dir", "runs/lrs", cwd=workdir,
     )
     assert "lr schedule: cosine" in r.stdout
+    assert "non-finite-gradient guard" in r.stdout
     r = run(
         "train_sde_score_model.py", "--procedural", "--n-samples", "64",
         "--epochs", "2", "--batch-size", "16", "--base-ch", "8",
         "--emb-dim", "16", "--sample-every", "99",
         "--lr-schedule", "cosine", "--warmup-steps", "2", "--grad-accum", "2",
-        "--out-dir", "runs/lrs", "--resume", cwd=workdir,
+        "--skip-nonfinite", "2", "--out-dir", "runs/lrs", "--resume", cwd=workdir,
     )
     assert "resumed from" in r.stdout and "epoch 002/2" in r.stdout
 

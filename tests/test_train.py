@@ -268,3 +268,44 @@ def test_sde_grad_accum_sharded_matches():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_skip_nonfinite_guard():
+    """optax.apply_if_finite wiring (`--skip-nonfinite`): a batch whose
+    gradients go non-finite leaves params/opt/EMA untouched and increments
+    the skip counter; a following finite batch trains normally; past K
+    consecutive bad steps the NaNs propagate (divergence-guard handoff)."""
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x, ycat, ycont = _fake_batch()
+    params = model.init(K, x, jnp.zeros((x.shape[0],)), ycat, ycont)["params"]
+    tx = optax.apply_if_finite(optax.adam(1e-3), max_consecutive_errors=2)
+    sde = VPSDE(0.1, 30.0)
+    state = create_train_state(params, tx, ema=True)
+    step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1, t_power=1.0,
+                               ema_decay=0.999)
+
+    x_bad = x.at[0, 0, 0, 0].set(jnp.nan)  # NaN input -> NaN loss/grads
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, loss = step(state, x_bad, ycat, ycont, jax.random.fold_in(K, 0))
+    assert not np.isfinite(float(loss))
+    assert int(state.opt_state.total_notfinite) == 1
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))  # update skipped
+
+    state, loss = step(state, x, ycat, ycont, jax.random.fold_in(K, 1))
+    assert np.isfinite(float(loss))
+    changed = any(
+        np.abs(np.asarray(b) - a).max() > 0
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state.params)))
+    assert changed  # finite batch trains
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(state.params))
+    assert int(state.opt_state.total_notfinite) == 1
+
+    # exceed max_consecutive_errors: the 3rd straight bad step applies the
+    # non-finite update so the failure surfaces instead of looping silently
+    for i in range(3):
+        state, _ = step(state, x_bad, ycat, ycont, jax.random.fold_in(K, 10 + i))
+    finite = all(np.isfinite(np.asarray(v)).all()
+                 for v in jax.tree.leaves(state.params))
+    assert not finite

@@ -378,6 +378,7 @@ def make_sde_train_epoch(
     mesh=None,
     parameterization: str = "eps",
     grad_accum: int = 1,
+    nan_safe_metrics: bool = False,
 ) -> Callable:
     """A whole SDE training epoch as one compiled program (new TPU-native
     scope — the reference runs one eager step per batch from a Python loop,
@@ -385,6 +386,11 @@ def make_sde_train_epoch(
     per-step batch materialisation, loss/grad/update/EMA, all in one scan.
     Data-source contract: see `_batch_source` (incl. `mesh` for
     data-parallel sharding).
+
+    `nan_safe_metrics` reports the epoch loss as the nanmean over steps —
+    pair it with an `optax.apply_if_finite`-wrapped `tx` (`--skip-nonfinite`)
+    so one skipped overflow step doesn't poison the epoch metric and trip
+    the trainer's divergence guard while the params stayed finite.
 
     Returns epoch_fn(state, key) -> (state, mean_loss). `key` drives both the
     shuffle and the per-step loss randomness; the state is donated.
@@ -397,4 +403,5 @@ def make_sde_train_epoch(
         x0, y_cat, y_cont = get_batch(idx)
         return step_fn(state, x0, y_cat, y_cont, key)
 
-    return _make_epoch(run_batch, n_items, batch_size, jnp.mean)
+    agg = jnp.nanmean if nan_safe_metrics else jnp.mean
+    return _make_epoch(run_batch, n_items, batch_size, agg)
