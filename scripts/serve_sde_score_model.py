@@ -12,8 +12,13 @@ single-pass U-Net evals — low-ms latency at >8k img/s on one chip.
 Endpoints (JSON in, JSON or PNG out):
   GET  /healthz            liveness + model description
   GET  /stats              service + batcher counters
-  POST /sample             {"types": [...], "thetas": [...], "format": "png"|"json",
+  POST /sample             {"types": [...], "thetas": [...],
+                            "format": "json"|"png"|"png_raw"|"npy",
                             "seed": optional int}
+                           png = matplotlib figure grid (committed-figure
+                           convention); png_raw = direct-pixel grid, ms
+                           instead of hundreds of ms; npy = raw float32
+                           array blob for programmatic consumers
   GET  /sample?type=0&theta=0.0&n=36&format=png      convenience form
 
 Requests WITHOUT an explicit seed go through the MicroBatcher (coalesced,
@@ -118,8 +123,9 @@ def make_handler(service, batcher):
                     raise ValueError('"types" is required (list of lattice-type ints)')
                 thetas = req.get("thetas")
                 fmt = str(req.get("format", "json"))
-                if fmt not in ("json", "png"):
-                    raise ValueError(f'format must be json|png, got "{fmt}"')
+                if fmt not in ("json", "png", "png_raw", "npy"):
+                    raise ValueError(
+                        f'format must be json|png|png_raw|npy, got "{fmt}"')
                 if "seed" in req:  # reproducible path: one dedicated dispatch
                     x = service.sample_conditions(
                         types, thetas, seed=int(req["seed"]))
@@ -138,6 +144,16 @@ def make_handler(service, batcher):
                     from toycrystals_tpu.serve import grid_png_bytes
 
                     body, ctype = grid_png_bytes(x), "image/png"
+                elif fmt == "png_raw":
+                    # direct-pixel grid, no matplotlib in the hot path — ms
+                    # instead of hundreds of ms for a 36-tile grid
+                    from toycrystals_tpu.serve import raw_png_bytes
+
+                    body, ctype = raw_png_bytes(x), "image/png"
+                elif fmt == "npy":
+                    from toycrystals_tpu.serve import npy_bytes
+
+                    body, ctype = npy_bytes(x), "application/octet-stream"
                 else:
                     body = json.dumps({"shape": list(x.shape),
                                        "images": x[..., 0].tolist()}).encode()

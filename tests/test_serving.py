@@ -186,6 +186,37 @@ def test_grid_png_bytes(ckpts):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_raw_png_and_npy_roundtrip():
+    """raw_png_bytes: a valid grayscale PNG whose tiles decode back to the
+    u8 quantisation of the input (no matplotlib resampling); npy_bytes:
+    bit-exact float32 round-trip."""
+    import io
+
+    import matplotlib.pyplot as plt
+
+    from toycrystals_tpu.serve import npy_bytes, raw_png_bytes
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(5, 8, 8, 1)).astype(np.float32)
+    png = raw_png_bytes(x, pad=2)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    img = plt.imread(io.BytesIO(png))  # -> float in [0,1] (or u8 rgb)
+    if img.ndim == 3:
+        img = img[..., 0]
+    # 5 tiles on a ceil(sqrt(5))=3-wide grid, 2px white padding
+    assert img.shape == (2 * 10 + 2, 3 * 10 + 2)
+    tile0 = img[2:10, 2:10]
+    want = np.clip(x[0, ..., 0] * 255 + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(
+        (tile0 * 255 + 0.5).astype(np.uint8), want)
+    # padding is white
+    assert img[0].min() >= 0.99
+
+    blob = npy_bytes(x)
+    back = np.load(io.BytesIO(blob))
+    np.testing.assert_array_equal(back, x)
+
+
 @pytest.fixture(scope="module")
 def server(ckpts):
     import serve_sde_score_model as ssm
@@ -239,6 +270,22 @@ def test_http_sample_json_and_png(server):
     code, ctype, _ = _post(server + "/sample?format=png",
                            {"types": [0], "format": "json"})
     assert code == 200 and ctype == "application/json"
+    # fast formats: direct-pixel png and raw npy
+    code, ctype, body = _post(server + "/sample",
+                              {"types": [0, 1], "format": "png_raw", "seed": 3})
+    assert code == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
+    code, ctype, body = _post(server + "/sample",
+                              {"types": [0, 1], "format": "npy", "seed": 3})
+    assert code == 200 and ctype == "application/octet-stream"
+    import io as _io
+
+    arr = np.load(_io.BytesIO(body))
+    assert arr.shape == (2, 16, 16, 1) and arr.dtype == np.float32
+    try:
+        _post(server + "/sample", {"types": [0], "format": "bmp"})
+        raise AssertionError("expected HTTP 400 for an unknown format")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "format" in json.loads(e.read())["error"]
 
 
 def test_http_sample_get_query(server):

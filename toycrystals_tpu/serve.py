@@ -444,3 +444,58 @@ def grid_png_bytes(x: np.ndarray, title: str | None = None) -> bytes:
     buf = io.BytesIO()
     save_image_grid(x, buf, nrows=side, ncols=side, suptitle=title)
     return buf.getvalue()
+
+
+def raw_png_bytes(x: np.ndarray, ncols: int | None = None, pad: int = 2,
+                  pad_value: float = 1.0) -> bytes:
+    """Tile samples into ONE grayscale 8-bit PNG with no figure machinery.
+
+    The serving-latency image path: `grid_png_bytes` goes through a
+    matplotlib figure (axes layout, anti-aliased resampling, Agg render —
+    hundreds of ms for a 36-tile grid, comparable to the whole distilled
+    sampling dispatch it wraps). This writes the pixels directly — tile
+    the batch on a white canvas, quantise to u8, emit IHDR/IDAT/IEND with
+    stdlib zlib — a few ms, no matplotlib import in the hot path, and the
+    tiles are bit-exact quantisations of the samples (no resampling), so
+    the output is also the better input for downstream scoring
+    (`utils/fidelity.py` recovers tiles losslessly from it)."""
+    import struct
+    import zlib
+
+    x = np.asarray(x, np.float32)
+    if x.ndim == 4:
+        x = x[..., 0]
+    if x.ndim == 2:
+        x = x[None]
+    n, h, w = x.shape
+    nc = int(ncols) if ncols else int(math.ceil(math.sqrt(n)))
+    nr = -(-n // nc)
+    canvas = np.full((nr * (h + pad) + pad, nc * (w + pad) + pad),
+                     pad_value, np.float32)
+    for i in range(n):
+        r, c = divmod(i, nc)
+        canvas[pad + r * (h + pad):pad + r * (h + pad) + h,
+               pad + c * (w + pad):pad + c * (w + pad) + w] = x[i]
+    u8 = np.clip(canvas * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+    hh, ww = u8.shape
+    # one filter byte (0 = None) per scanline, then the row
+    scan = np.concatenate([np.zeros((hh, 1), np.uint8), u8], axis=1).tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", ww, hh, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
+
+
+def npy_bytes(x: np.ndarray) -> bytes:
+    """Samples as a raw ``.npy`` blob — the zero-parse path for programmatic
+    consumers (`np.load(io.BytesIO(body))` gives the (n, H, W, 1) float32
+    array back bit-exact; the JSON format decimal-prints every pixel)."""
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(x, np.float32))
+    return buf.getvalue()
