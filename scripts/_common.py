@@ -46,6 +46,24 @@ def select_device(device: str) -> str:
     return device
 
 
+def infer_score_ckpt_path(out_dir: str, ckpt: str) -> str:
+    """Resolve a score-model --ckpt argument shared by the sampler / inpaint
+    / eval CLIs: an explicit path (.msgpack / reference .pt / --ckpt-format
+    orbax directory) passes through; 'last'/'best' resolve under
+    <out_dir>/checkpoints, preferring msgpack and falling back to an orbax
+    run's step-managed directory."""
+    import os
+
+    if ckpt.endswith((".msgpack", ".pt", ".orbax")) or os.path.isdir(ckpt):
+        return ckpt
+    if ckpt in ("last", "best"):
+        base = os.path.join(out_dir, "checkpoints", f"sde_score_model_{ckpt}")
+        if not os.path.exists(base + ".msgpack") and os.path.isdir(base + ".orbax"):
+            return base + ".orbax"
+        return base + ".msgpack"
+    raise ValueError("ckpt must be a .msgpack/.orbax/.pt path or one of: last, best")
+
+
 def add_shard_flag(p, space: bool = False, train: bool = True) -> None:
     """--shard N: GSPMD data parallelism over the first N devices."""
     p.add_argument(

@@ -33,9 +33,9 @@ def main() -> int:
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--teacher", type=str, required=True,
-                   help="Teacher checkpoint: .msgpack from "
-                        "train_sde_score_model.py (or a reference .pt — "
-                        "utils/torch_interop.py).")
+                   help="Teacher checkpoint: .msgpack or --ckpt-format "
+                        "orbax directory from train_sde_score_model.py "
+                        "(or a reference .pt — utils/torch_interop.py).")
     p.add_argument("--use-ema", type=int, default=1, choices=[0, 1],
                    help="Distill from the teacher's EMA weights when present "
                         "(the committed sampling convention).")
@@ -116,18 +116,13 @@ def main() -> int:
         AsyncCheckpointer,
         GracefulShutdown,
         append_jsonl,
-        load_checkpoint,
+        load_score_payload,
     )
     from toycrystals_tpu.utils.fidelity import score_lattice_fidelity
     from toycrystals_tpu.utils.figures import save_image_grid
 
-    # ---- teacher -----------------------------------------------------------
-    if args.teacher.endswith(".pt"):
-        from toycrystals_tpu.utils.torch_interop import load_torch_score_checkpoint
-
-        payload = load_torch_score_checkpoint(args.teacher)
-    else:
-        payload = load_checkpoint(args.teacher)
+    # ---- teacher (msgpack / reference .pt / --ckpt-format orbax dir) ------
+    payload = load_score_payload(args.teacher)
     tcfg = payload.get("config")
     if not tcfg:
         raise SystemExit("teacher checkpoint has no embedded config")

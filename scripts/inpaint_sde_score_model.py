@@ -28,7 +28,12 @@ import json
 import math
 import os
 
-from _common import add_shard_flag, select_device, setup_mesh  # noqa: E402
+from _common import (  # noqa: E402
+    add_shard_flag,
+    infer_score_ckpt_path,
+    select_device,
+    setup_mesh,
+)
 
 
 def _mask_batch(kind: str, frac: float, n: int, hw: int):
@@ -130,25 +135,15 @@ def main() -> int:
         sample_chunked,
         sample_inpaint_reverse_sde,
     )
-    from toycrystals_tpu.utils import load_checkpoint
+    from toycrystals_tpu.utils import load_score_payload
     from toycrystals_tpu.utils.figures import save_image_grid
 
     # checkpoint resolution — same conventions as the sampler CLI
-    ckpt_path = args.ckpt
-    if not ckpt_path.endswith((".msgpack", ".pt")):
-        name = {"last": "sde_score_model_last.msgpack",
-                "best": "sde_score_model_best.msgpack"}.get(ckpt_path)
-        if name is None:
-            raise ValueError("ckpt must be a .msgpack/.pt path or last|best")
-        ckpt_path = os.path.join(args.out_dir, "checkpoints", name)
+    # (msgpack / reference .pt / --ckpt-format orbax dir / last|best)
+    ckpt_path = infer_score_ckpt_path(args.out_dir, args.ckpt)
     if not os.path.exists(ckpt_path):
         raise FileNotFoundError(f"Checkpoint not found: {ckpt_path}")
-    if ckpt_path.endswith(".pt"):
-        from toycrystals_tpu.utils.torch_interop import load_torch_score_checkpoint
-
-        payload = load_torch_score_checkpoint(ckpt_path)
-    else:
-        payload = load_checkpoint(ckpt_path)
+    payload = load_score_payload(ckpt_path)
     cfg = payload["config"]
     state = payload["state"]
     params = state["params"]

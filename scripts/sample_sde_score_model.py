@@ -15,17 +15,12 @@ import argparse
 import math
 import os
 
-from _common import add_shard_flag, select_device, setup_mesh  # noqa: E402
-
-
-def _infer_ckpt_path(out_dir: str, ckpt: str) -> str:
-    if ckpt.endswith((".msgpack", ".pt")):
-        return ckpt
-    if ckpt == "last":
-        return os.path.join(out_dir, "checkpoints", "sde_score_model_last.msgpack")
-    if ckpt == "best":
-        return os.path.join(out_dir, "checkpoints", "sde_score_model_best.msgpack")
-    raise ValueError("ckpt must be a .msgpack path or one of: last, best")
+from _common import (  # noqa: E402
+    add_shard_flag,
+    infer_score_ckpt_path,
+    select_device,
+    setup_mesh,
+)
 
 
 def main() -> int:
@@ -114,21 +109,17 @@ def main() -> int:
         sample_reverse_sde_euler_maruyama,
     )
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
-    from toycrystals_tpu.utils import load_checkpoint
+    from toycrystals_tpu.utils import load_score_payload
     from toycrystals_tpu.utils.figures import save_image_grid
 
-    ckpt_path = _infer_ckpt_path(args.out_dir, args.ckpt)
+    ckpt_path = infer_score_ckpt_path(args.out_dir, args.ckpt)
     if not os.path.exists(ckpt_path):
         raise FileNotFoundError(f"Checkpoint not found: {ckpt_path}")
 
-    if ckpt_path.endswith(".pt"):
-        # reference torch checkpoint: weights + config convert onto our param
-        # tree (same-weights sampling = the strongest figure-parity check)
-        from toycrystals_tpu.utils.torch_interop import load_torch_score_checkpoint
-
-        payload = load_torch_score_checkpoint(ckpt_path)
-    else:
-        payload = load_checkpoint(ckpt_path)
+    # .pt = reference torch checkpoint converted onto our param tree (the
+    # same-weights figure-parity path); directory = --ckpt-format orbax
+    # per-shard restore; otherwise msgpack (utils/checkpoint.py).
+    payload = load_score_payload(ckpt_path)
 
     cfg = payload.get("config") or {
         "img_ch": 1, "n_types": args.n_types, "y_cont_dim": args.y_cont_dim,

@@ -173,6 +173,19 @@ def main() -> int:
                         "end; 0 = end only). The reference saves every epoch; "
                         "on a tunneled TPU each save pulls the full state to "
                         "the host.")
+    p.add_argument("--ckpt-format", default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="msgpack = single self-describing file (default; "
+                        "gathers the full state to the host on save). orbax "
+                        "= distributed per-shard checkpointing "
+                        "(utils/orbax_io.py): under --fsdp / --shard-model "
+                        "each device's shard is written directly (no gather) "
+                        "into a step-managed directory with atomic commit + "
+                        "retention, saves overlap the next epoch, and "
+                        "--resume restores STRAIGHT INTO the new run's "
+                        "shardings — including a different mesh layout than "
+                        "the saving run. The sampler/serving/eval CLIs read "
+                        "either format.")
     p.add_argument("--async-ckpt", type=int, default=1, choices=[0, 1],
                    help="Overlap checkpoint serialization + disk IO with the "
                         "next epoch (utils/AsyncCheckpointer). The device-to-"
@@ -232,17 +245,25 @@ def main() -> int:
     os.makedirs(results_dir, exist_ok=True)
     os.makedirs(ckpt_dir, exist_ok=True)
     metrics_path = os.path.join(args.out_dir, "metrics.jsonl")
-    ckpt_path = os.path.join(ckpt_dir, "sde_score_model_last.msgpack")
+    orbax_fmt = args.ckpt_format == "orbax"
+    ckpt_name = "sde_score_model_last." + ("orbax" if orbax_fmt else "msgpack")
+    ckpt_path = os.path.join(ckpt_dir, ckpt_name)
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
 
     # Peek the checkpoint BEFORE anything is built: on --resume the saved
     # config decides the computation dtype and procedural img_size unless the
-    # flags override them.
+    # flags override them. (Orbax: meta sidecar only — the arrays restore
+    # later, straight into the placed state's shardings.)
     resume_raw = None
     if args.resume and os.path.exists(ckpt_path):
-        resume_raw = load_checkpoint(ckpt_path)
+        if orbax_fmt:
+            from toycrystals_tpu.utils import load_orbax_meta
+
+            resume_raw = load_orbax_meta(ckpt_path)
+        else:
+            resume_raw = load_checkpoint(ckpt_path)
     rcfg = (resume_raw or {}).get("config", {})
     dtype_name = args.dtype or str(rcfg.get("dtype") or "float32")
     if args.img_size is None:
@@ -409,9 +430,10 @@ def main() -> int:
     start_epoch = 0
     loss_hist: list[float] = []
     if resume_raw is not None:
-        import flax.serialization as ser
+        if not orbax_fmt:
+            import flax.serialization as ser
 
-        state = ser.from_state_dict(state, resume_raw["state"])
+            state = ser.from_state_dict(state, resume_raw["state"])
         start_epoch = int(resume_raw["epoch_next"])
         hist = resume_raw.get("loss_hist", [])
         loss_hist = [float(v) for v in (hist.values() if isinstance(hist, dict) else hist)]
@@ -424,6 +446,20 @@ def main() -> int:
     # mesh-aware placement: replication / tp channel sharding / --fsdp
     # ZeRO-3 (scripts/_common.py place_state).
     state = place_state(mesh, state, fsdp=args.fsdp, what="base_ch")
+
+    ckpt_mgr = best_mgr = None
+    if orbax_fmt:
+        from toycrystals_tpu.utils import ShardedCheckpointManager
+
+        ckpt_mgr = ShardedCheckpointManager(ckpt_path, max_to_keep=2)
+        if args.save_best:
+            best_mgr = ShardedCheckpointManager(
+                os.path.join(ckpt_dir, "sde_score_model_best.orbax"),
+                max_to_keep=1)
+        if resume_raw is not None:
+            # per-shard restore DIRECTLY into the placed state's shardings —
+            # the saving run's mesh (or lack of one) is irrelevant
+            state, _ = ckpt_mgr.restore_onto(state)
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
     if args.param == "v":
@@ -469,7 +505,22 @@ def main() -> int:
     ckptr = AsyncCheckpointer()
     save_ckpt = ckptr.save if args.async_ckpt else save_checkpoint
 
-    with GracefulShutdown() as stop, ckptr:
+    def write_ckpt(which: str, epoch: int) -> None:
+        """One checkpoint write, either format ('last' or 'best' target)."""
+        meta = {"epoch_next": epoch + 1, "loss_hist": loss_hist,
+                "config": config}
+        if orbax_fmt:
+            (ckpt_mgr if which == "last" else best_mgr).save(
+                epoch + 1, state, meta)
+        else:
+            path = ckpt_path if which == "last" else os.path.join(
+                ckpt_dir, "sde_score_model_best.msgpack")
+            save_ckpt(path, {**meta, "state": state})
+
+    with GracefulShutdown() as stop, ckptr, contextlib.ExitStack() as mgr_stack:
+        for m in (ckpt_mgr, best_mgr):
+            if m is not None:
+                mgr_stack.enter_context(m)
         for epoch in range(start_epoch, args.epochs):
             profiling = (
                 jax.profiler.trace(args.profile_dir)
@@ -520,16 +571,9 @@ def main() -> int:
             if preempted or (
                 args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0
             ) or (epoch == args.epochs - 1):
-                save_ckpt(ckpt_path, {
-                    "epoch_next": epoch + 1, "state": state,
-                    "loss_hist": loss_hist, "config": config,
-                })
+                write_ckpt("last", epoch)
             if args.save_best and avg <= min(loss_hist):
-                save_ckpt(
-                    os.path.join(ckpt_dir, "sde_score_model_best.msgpack"),
-                    {"epoch_next": epoch + 1, "state": state,
-                     "loss_hist": loss_hist, "config": config},
-                )
+                write_ckpt("best", epoch)
             append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
             if preempted:
                 # Preemption (utils/preempt.py): checkpoint is saved above

@@ -239,3 +239,38 @@ def test_10_eval_cli(workdir):
         [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
     assert rec["grid"].endswith("eval_grid.png")
     assert 0.0 <= rec["cond_fidelity"] <= 1.0
+
+
+def test_11_orbax_ckpt_train_resume_sample(workdir):
+    """--ckpt-format orbax end-to-end: the trainer writes a step-managed
+    per-shard checkpoint directory, --resume restores from it (arrays land
+    straight in the new run's shardings), and the standalone sampler reads
+    the directory through the same last/best resolution as msgpack."""
+    run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "1", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--sample-every", "0", "--save-best", "1",
+        "--ckpt-format", "orbax", "--out-dir", "runs/ox", cwd=workdir,
+    )
+    last = workdir / "runs/ox/checkpoints/sde_score_model_last.orbax"
+    best = workdir / "runs/ox/checkpoints/sde_score_model_best.orbax"
+    assert (last / "1").is_dir(), "step-managed layout expected"
+    assert best.is_dir()
+    assert not list((workdir / "runs/ox/checkpoints").glob("*.msgpack"))
+
+    r = run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "2", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--sample-every", "0", "--save-best", "1",
+        "--ckpt-format", "orbax", "--out-dir", "runs/ox", "--resume",
+        cwd=workdir,
+    )
+    assert "resumed from" in r.stdout
+    metrics = (workdir / "runs/ox/metrics.jsonl").read_text().strip().splitlines()
+    assert json.loads(metrics[-1])["epoch"] == 2
+
+    run(
+        "sample_sde_score_model.py", "--out-dir", "runs/ox", "--ckpt", "last",
+        "--steps", "3", "--sampler", "ode", "--n", "4", cwd=workdir,
+    )
+    assert list((workdir / "runs/ox/results").glob("samples_ckpt-*"))

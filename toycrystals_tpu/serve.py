@@ -42,14 +42,11 @@ _REFERENCE_SERVE = {"sampler": "sde", "steps": 300,
 
 
 def load_score_payload(ckpt_path: str) -> dict[str, Any]:
-    """Read a score-model checkpoint: our msgpack or a reference ``.pt``."""
-    if str(ckpt_path).endswith(".pt"):
-        from toycrystals_tpu.utils.torch_interop import load_torch_score_checkpoint
+    """Read a score-model checkpoint: our msgpack, a `--ckpt-format orbax`
+    step-managed directory, or a reference ``.pt`` (utils/checkpoint.py)."""
+    from toycrystals_tpu.utils import load_score_payload as _load
 
-        return load_torch_score_checkpoint(ckpt_path)
-    from toycrystals_tpu.utils import load_checkpoint
-
-    return load_checkpoint(ckpt_path)
+    return _load(ckpt_path)
 
 
 class ScoreModelService:

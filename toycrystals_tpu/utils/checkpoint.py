@@ -137,3 +137,33 @@ def load_checkpoint(path: str | Path, target: Any = None) -> Any:
     if target is None:
         return raw
     return ser.from_state_dict(target, raw)
+
+
+def load_score_payload(path: str | Path) -> dict:
+    """Read a SCORE-MODEL checkpoint in ANY supported format, payload-shaped
+    like `load_checkpoint(msgpack)` (``{"state": {...}, "config": {...},
+    "epoch_next": N, ...}``):
+
+    - ``*.pt``            — reference torch checkpoint (utils/torch_interop.py);
+    - directory           — `--ckpt-format orbax` step-managed checkpoint
+                            (utils/orbax_io.py), restored onto the default
+                            device regardless of the saving run's mesh;
+    - anything else       — our single-file msgpack.
+
+    The one loader behind every score-model consumer CLI: sampler, inpaint,
+    distill teacher, eval, serving.
+    """
+    p = str(path)
+    if p.endswith(".pt"):
+        from toycrystals_tpu.utils.torch_interop import load_torch_score_checkpoint
+
+        return load_torch_score_checkpoint(p)
+    if os.path.isdir(p):
+        from toycrystals_tpu.utils.orbax_io import is_orbax_checkpoint, load_orbax_payload
+
+        if not is_orbax_checkpoint(p):
+            raise FileNotFoundError(
+                f"{p} is a directory but not a step-managed orbax checkpoint "
+                "(expected <path>/<step>/ subdirectories from --ckpt-format orbax)")
+        return load_orbax_payload(p)
+    return load_checkpoint(p)
