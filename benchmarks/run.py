@@ -67,11 +67,12 @@ def main() -> int:
                    help="batch for the sharded stretch run (v5e-8 config)")
     p.add_argument("--only", type=str, default="",
                    help="comma list of sections to run (default all): "
-                        "sde,ode,dpm,fewstep,serving,vae,sde_train,datagen,ddim,fidelity")
+                        "sde,ode,dpm,rf,fewstep,serving,vae,sde_train,datagen,"
+                        "ddim,fidelity")
     args = p.parse_args()
     only = {s for s in args.only.split(",") if s}
-    sections = {"sde", "ode", "dpm", "fewstep", "serving", "vae", "sde_train",
-                "datagen", "ddim", "fidelity"}
+    sections = {"sde", "ode", "dpm", "rf", "fewstep", "serving", "vae",
+                "sde_train", "datagen", "ddim", "fidelity"}
     if unknown := only - sections:
         p.error(f"unknown --only section(s) {sorted(unknown)}; choose from {sorted(sections)}")
 
@@ -116,8 +117,8 @@ def main() -> int:
     # --- SDE / ODE sampling (bf16 compute) ---
     b = args.sample_batch
     sde = VPSDE(0.1, 30.0)
-    if (want("sde") or want("ode") or want("dpm") or want("fewstep")
-            or want("serving") or args.stretch):
+    if (want("sde") or want("ode") or want("dpm") or want("rf")
+            or want("fewstep") or want("serving") or args.stretch):
         unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
                             dtype=jnp.bfloat16)
         uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
@@ -150,6 +151,18 @@ def main() -> int:
             n_steps=50, guidance_scale=1.5, t_end=0.005), key, repeats=2)
         results["dpm_sampling"] = {"images_per_sec": round(b / dt, 2),
                                    "batch": b, "steps": 50, "cfg": 1.5}
+
+    if want("rf"):
+        # Rectified-flow Euler at the fm serving default (50 steps, CFG):
+        # throughput of the `--param fm` family (models/flow_matching.py);
+        # weight-independent like every sampler row here.
+        from toycrystals_tpu.models import sample_rectified_flow
+
+        dt = timeit(lambda k: sample_rectified_flow(
+            uapply, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+            n_steps=50, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+        results["rf_sampling"] = {"images_per_sec": round(b / dt, 2),
+                                  "batch": b, "steps": 50, "cfg": 1.5}
 
     if want("fewstep"):
         # Progressive-distilled serving path (scripts/distill_sde_score_model

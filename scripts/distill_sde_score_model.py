@@ -131,6 +131,12 @@ def main() -> int:
     if args.use_ema and state_t.get("ema_params") is not None:
         teacher_params = state_t["ema_params"]
     teacher_pred = str(tcfg.get("param", "eps"))
+    if teacher_pred == "fm":
+        raise SystemExit(
+            "progressive distillation consumes a VP eps/v teacher (DDIM "
+            "nested-grid steps); this teacher was trained with --param fm — "
+            "rectified-flow checkpoints already sample accurately at few "
+            "Euler steps (--sampler rf), no distillation needed")
     dtype_name = args.dtype or str(tcfg.get("dtype", "float32"))
     img_size = int(tcfg.get("img_size", 64))
     n_types = int(tcfg["n_types"])

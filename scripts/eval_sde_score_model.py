@@ -57,7 +57,7 @@ def main() -> int:
                    help="Samples to draw and score (canonical grid "
                         "conditions; default 36 = the committed 6x6 grid).")
     p.add_argument("--sampler", default=None,
-                   choices=["ode", "sde", "dpm", "ddim"])
+                   choices=["ode", "sde", "dpm", "ddim", "rf"])
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--cfg", type=float, default=None)
     p.add_argument("--t-end", type=float, default=None)

@@ -162,6 +162,11 @@ def main() -> int:
                 beta_max=float(cfg.get("beta_max", 30.0)),
                 logsnr_shift=float(cfg.get("logsnr_shift", 0.0)))
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+    if str(cfg.get("param", "eps")) == "fm":
+        raise SystemExit(
+            "inpainting runs the reverse-SDE repaint loop, which needs a VP "
+            "eps/v model; this checkpoint was trained with --param fm "
+            "(rectified flow)")
     if str(cfg.get("param", "eps")) == "v":
         apply_fn = eps_apply_from_v(sde, apply_fn)
 

@@ -38,7 +38,7 @@ def main() -> int:
     p.add_argument("--use-ema", type=int, default=0, choices=[0, 1],
                    help="If checkpoint has EMA weights, sample using them.")
     p.add_argument("--sampler", type=str, default="ode",
-                   choices=["ode", "sde", "dpm", "ddim"],
+                   choices=["ode", "sde", "dpm", "ddim", "rf"],
                    help="ode = prob-flow Heun, sde = reverse-SDE Euler-Maruyama "
                         "(the reference's two samplers); dpm = DPM-Solver++(2M), "
                         "a 2nd-order multistep ODE solver that needs far fewer "
@@ -46,7 +46,10 @@ def main() -> int:
                         "deterministic DDIM, exactly --steps net evals — the "
                         "sampler for progressive-distilled checkpoints "
                         "(scripts/distill_sde_score_model.py; those bake the "
-                        "guidance in, so run with --cfg 0).")
+                        "guidance in, so run with --cfg 0); rf = rectified-flow "
+                        "Euler, the (auto-selected) sampler for --param fm "
+                        "checkpoints (models/flow_matching.py; try --steps "
+                        "20-50).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk", type=int, default=None,
                    help="Max images per compiled dispatch. Large batches are "
@@ -84,7 +87,7 @@ def main() -> int:
     p.add_argument("--beta-min", type=float, default=0.1)
     p.add_argument("--beta-max", type=float, default=30.0)
     p.add_argument("--logsnr-shift", type=float, default=0.0)
-    p.add_argument("--param", type=str, default="eps", choices=["eps", "v"],
+    p.add_argument("--param", type=str, default="eps", choices=["eps", "v", "fm"],
                    help="Prediction target fallback (only used if the "
                         "checkpoint has no embedded config).")
 
@@ -106,6 +109,7 @@ def main() -> int:
         sample_ddim,
         sample_dpmpp_2m,
         sample_probability_flow_ode,
+        sample_rectified_flow,
         sample_reverse_sde_euler_maruyama,
     )
     from toycrystals_tpu.models.sde_score_model import sample_grid_conditions
@@ -152,23 +156,31 @@ def main() -> int:
         logsnr_shift=float(cfg.get("logsnr_shift", args.logsnr_shift)),
     )
 
-    if args.out_path is None:
-        os.makedirs(os.path.join(args.out_dir, "results"), exist_ok=True)
-        base = os.path.splitext(os.path.basename(ckpt_path))[0]
-        args.out_path = os.path.join(
-            args.out_dir, "results",
-            f"samples_ckpt-{base}_steps{args.steps}_cfg{args.cfg:.2f}"
-            f"_tend{args.t_end:g}_sampler{args.sampler}_ema{args.use_ema}.png",
-        )
-
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
     extra_kw = {}
-    if args.sampler == "ddim":
+    ckpt_param = str(cfg.get("param", "eps"))
+    if ckpt_param == "fm":
+        # rectified-flow checkpoint: the net is a velocity field on the
+        # straight-line path, which the VP-marginal samplers cannot consume —
+        # only the rf integrator applies (models/flow_matching.py)
+        if args.sampler != "rf":
+            if args.sampler != p.get_default("sampler"):
+                raise SystemExit(
+                    f"--sampler {args.sampler} expects a VP eps/v model; this "
+                    "checkpoint was trained with --param fm — use --sampler rf")
+            args.sampler = "rf"
+            print("flow-matching checkpoint: --sampler defaulting to rf")
+    elif args.sampler == "rf":
+        raise SystemExit(
+            "--sampler rf integrates a rectified-flow velocity field; this "
+            f"checkpoint was trained with --param {ckpt_param} — use "
+            "ode/sde/dpm (or ddim for distilled checkpoints)")
+    elif args.sampler == "ddim":
         # ddim consumes the raw net output (static `prediction` arg) — the v
         # path computes x0 = alpha*x - sigma*v directly, which is the only
         # well-conditioned route at the t=1 evals a 1-4 step student makes
-        extra_kw["prediction"] = str(cfg.get("param", "eps"))
-    elif str(cfg.get("param", "eps")) == "v":
+        extra_kw["prediction"] = ckpt_param
+    elif ckpt_param == "v":
         # v-prediction checkpoint: adapt to the eps-space the samplers expect
         from toycrystals_tpu.models import eps_apply_from_v
 
@@ -189,6 +201,17 @@ def main() -> int:
             print(f"NOTE: guidance {cfg.get('distill_cfg')} is baked into this "
                   f"distilled checkpoint; --cfg {args.cfg} applies guidance ON "
                   "TOP of that (use --cfg 0 for the trained behaviour)")
+    # auto filename AFTER sampler/steps/t_end resolution so it encodes the
+    # settings actually used (fm -> rf switch, distilled step defaulting)
+    if args.out_path is None:
+        os.makedirs(os.path.join(args.out_dir, "results"), exist_ok=True)
+        base = os.path.splitext(os.path.basename(ckpt_path))[0]
+        args.out_path = os.path.join(
+            args.out_dir, "results",
+            f"samples_ckpt-{base}_steps{args.steps}_cfg{args.cfg:.2f}"
+            f"_tend{args.t_end:g}_sampler{args.sampler}_ema{args.use_ema}.png",
+        )
+
     y_cat, y_cont = sample_grid_conditions(
         args.n, int(cfg["n_types"]), int(cfg["y_cont_dim"]), args.theta_max
     )
@@ -204,6 +227,7 @@ def main() -> int:
         "sde": sample_reverse_sde_euler_maruyama,
         "dpm": sample_dpmpp_2m,
         "ddim": sample_ddim,
+        "rf": sample_rectified_flow,
     }[args.sampler]
     chunk = args.chunk
     if chunk is None:

@@ -192,8 +192,9 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--device", default="auto", choices=["auto", "tpu", "cpu"])
     p.add_argument("--sampler", default=None,
-                   choices=["ode", "sde", "dpm", "ddim"],
-                   help="default: ddim for distilled ckpts, else sde")
+                   choices=["ode", "sde", "dpm", "ddim", "rf"],
+                   help="default: ddim for distilled ckpts, rf for --param fm "
+                        "ckpts, else sde")
     p.add_argument("--steps", type=int, default=None,
                    help="default: the student's trained step count, else 300")
     p.add_argument("--guidance-scale", type=float, default=None,

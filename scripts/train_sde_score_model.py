@@ -86,13 +86,17 @@ def main() -> int:
     p.add_argument("--p-uncond", type=float, default=0.1)
     p.add_argument("--t-power", type=float, default=1.0,
                    help="Sample t as t=u**t_power. >1 biases towards small t.")
-    p.add_argument("--param", type=str, default=None, choices=["eps", "v"],
-                   help="Prediction target: eps (the reference's) or v "
+    p.add_argument("--param", type=str, default=None, choices=["eps", "v", "fm"],
+                   help="Prediction target: eps (the reference's), v "
                         "(Salimans & Ho v-prediction — well-conditioned at "
                         "every t; recommended with --logsnr-shift for "
-                        "high-res training). Stored in the checkpoint config "
-                        "so the sampler adapts automatically. Default: eps, "
-                        "or the checkpoint's param on --resume.")
+                        "high-res training), or fm (rectified-flow velocity "
+                        "matching on the straight-line path, "
+                        "models/flow_matching.py — sample with --sampler rf, "
+                        "accurate at few Euler steps). Stored in the "
+                        "checkpoint config so the sampler adapts "
+                        "automatically. Default: eps, or the checkpoint's "
+                        "param on --resume.")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="0 disables EMA. Typical: 0.999 or 0.9999")
 
@@ -462,32 +466,41 @@ def main() -> int:
             state, _ = ckpt_mgr.restore_onto(state)
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
+    grid_sampler, grid_name = sample_probability_flow_ode, "ode"
     if args.param == "v":
         from toycrystals_tpu.models import eps_apply_from_v
 
         apply_fn = eps_apply_from_v(sde, apply_fn)
+    elif args.param == "fm":
+        # the net predicts a velocity field, not eps: in-training grids
+        # integrate it with the rectified-flow Euler sampler
+        from toycrystals_tpu.models import sample_rectified_flow
+
+        grid_sampler, grid_name = sample_rectified_flow, "rf"
 
     def save_samples(out_path, sample_state):
         prm = sample_state.sample_params if args.sample_from_ema == 1 else sample_state.params
         y_cat, y_cont = sample_grid_conditions(36, args.n_types, args.y_cont_dim)
-        # in-training grids use the ODE sampler, like the reference's
-        # save_sde_samples default (`sde_score_model.py:312`), chunked so a
-        # 256x256 grid stays under the tunnel's per-dispatch duration cap
+        # in-training grids use the ODE sampler (rf for --param fm), like the
+        # reference's save_sde_samples default (`sde_score_model.py:312`),
+        # chunked so a 256x256 grid stays under the tunnel's per-dispatch
+        # duration cap
         sp_kw = {}
         if mesh is not None and "space" in mesh.axis_names:
             from toycrystals_tpu.parallel import image_sharding
 
             sp_kw["sharding"] = image_sharding(mesh)
         x = sample_chunked(
-            sample_probability_flow_ode, apply_fn, prm, sde, y_cat, y_cont,
+            grid_sampler, apply_fn, prm, sde, y_cat, y_cont,
             (36, img_size, img_size, 1), jax.random.key(args.seed + 1),
-            chunk=auto_chunk(img_size, args.sample_steps, "ode"), mesh=mesh,
+            chunk=auto_chunk(img_size, args.sample_steps, grid_name), mesh=mesh,
             n_steps=args.sample_steps, guidance_scale=args.cfg,
-            t_end=args.t_end, clip_x0=bool(args.clip_x0), **sp_kw,
+            t_end=args.t_end, n_types=args.n_types,
+            clip_x0=bool(args.clip_x0), **sp_kw,
         )
         save_image_grid(
             x, out_path,
-            suptitle=f"ode | steps={args.sample_steps} | cfg={args.cfg:.2f} | t_end={args.t_end:g}",
+            suptitle=f"{grid_name} | steps={args.sample_steps} | cfg={args.cfg:.2f} | t_end={args.t_end:g}",
         )
 
     print("starting SDE score-model training loop.")

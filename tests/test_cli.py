@@ -274,3 +274,47 @@ def test_11_orbax_ckpt_train_resume_sample(workdir):
         "--steps", "3", "--sampler", "ode", "--n", "4", cwd=workdir,
     )
     assert list((workdir / "runs/ox/results").glob("samples_ckpt-*"))
+
+
+def test_12_flow_matching_train_and_sample(workdir):
+    """--param fm end-to-end: the trainer optimizes the rectified-flow
+    velocity objective (in-training grids via the rf sampler), the sampler
+    CLI auto-switches to rf for fm checkpoints, and incompatible sampler
+    choices fail with a clear message."""
+    run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "1", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--param", "fm", "--sample-steps", "3",
+        "--sample-every", "1", "--cfg", "1.5", "--out-dir", "runs/fm",
+        cwd=workdir,
+    )
+    assert (workdir / "runs/fm/checkpoints/sde_score_model_last.msgpack").exists()
+    # the in-training grid ran through the rf sampler
+    assert (workdir / "runs/fm/results/sde_samples_epoch_001.png").exists()
+
+    r = run(
+        "sample_sde_score_model.py", "--out-dir", "runs/fm", "--ckpt", "last",
+        "--steps", "4", "--cfg", "1.5", "--n", "4", cwd=workdir,
+    )
+    assert "defaulting to rf" in r.stdout
+
+    # explicit VP sampler on an fm checkpoint must fail loudly
+    import subprocess
+    bad = subprocess.run(
+        [sys.executable, str(SCRIPTS / "sample_sde_score_model.py"),
+         "--device", "cpu", "--out-dir", "runs/fm", "--ckpt", "last",
+         "--steps", "4", "--sampler", "sde", "--n", "4"],
+        cwd=workdir, env=ENV, capture_output=True, text=True, timeout=900,
+    )
+    assert bad.returncode != 0
+    assert "--sampler rf" in (bad.stdout + bad.stderr)
+
+    # the serving service layer (eval CLI drives it) auto-selects rf too
+    r = run(
+        "eval_sde_score_model.py", "--ckpt",
+        "runs/fm/checkpoints/sde_score_model_last.msgpack",
+        "--n", "4", "--steps", "3", cwd=workdir,
+    )
+    rec = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+    assert rec["sampler"] == "rf"

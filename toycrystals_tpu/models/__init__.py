@@ -5,6 +5,7 @@ from toycrystals_tpu.models.diffusion_prior import (
     DiffusionSchedule,
     timestep_embedding_discrete,
 )
+from toycrystals_tpu.models.flow_matching import sample_rectified_flow
 from toycrystals_tpu.models.moe_prior import DiffusionPriorMoE, MoEFiLMResBlock
 from toycrystals_tpu.models.sde_score_model import (
     CondUNetTiny,
@@ -46,5 +47,6 @@ __all__ = [
     "sample_dpmpp_2m",
     "sample_inpaint_reverse_sde",
     "sample_probability_flow_ode",
+    "sample_rectified_flow",
     "sample_reverse_sde_euler_maruyama",
 ]

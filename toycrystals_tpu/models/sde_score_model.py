@@ -266,6 +266,8 @@ def diffusion_loss_eps(
       the v-target keeps both implied quantities (x0 = alpha*x_t - sigma*v,
       eps = sigma*x_t + alpha*v) bounded at every t. Wrap a v-model for the
       eps-based samplers with `eps_apply_from_v`.
+      "fm"  — rectified-flow velocity matching on the straight-line path
+      (models/flow_matching.py); sample with `sample_rectified_flow`.
     """
     t, eps, y_cat, y_cont = draw_diffusion_loss_noise(
         x0, y_cat, y_cont, key, n_types, p_uncond, t_power)
@@ -312,11 +314,21 @@ def diffusion_loss_eps_given(
 ) -> jax.Array:
     """The deterministic half of `diffusion_loss_eps`: perturb with the GIVEN
     (t, eps) and return the MSE. x0 raw in [0,1] (mapped to [-1,1] here);
-    conditioning already CFG-dropped."""
-    if parameterization not in ("eps", "v"):
-        raise ValueError(f"parameterization must be eps|v, got {parameterization}")
+    conditioning already CFG-dropped.
+
+    "fm" swaps the VP marginal for the rectified-flow straight-line path
+    x_t = (1-t)·x0 + t·eps with velocity target u = eps − x0 (see
+    models/flow_matching.py); it lives here so the grad-accum / fused-epoch
+    machinery (train/steps.py) is shared across all three objectives."""
+    if parameterization not in ("eps", "v", "fm"):
+        raise ValueError(f"parameterization must be eps|v|fm, got {parameterization}")
     b = x0.shape[0]
     x0 = x0 * 2.0 - 1.0
+    if parameterization == "fm":
+        tb = t.reshape(b, 1, 1, 1)
+        x_t = (1.0 - tb) * x0 + tb * eps
+        pred = apply_fn(params, x_t, t, y_cat, y_cont)
+        return jnp.mean((pred - (eps - x0)) ** 2)
     a = sde.alpha(t).reshape(b, 1, 1, 1)
     s = sde.sigma(t).reshape(b, 1, 1, 1)
     x_t = a * x0 + s * eps
@@ -812,7 +824,7 @@ def auto_chunk(img_size: int, n_steps: int, sampler: str = "sde") -> int:
     CLAUDE.md). Calibrated at the flagship base_ch=96: 12 images at
     256x256/300 steps is measured safe (benchmarks/NOTES.md), and dispatch
     cost scales with model-evals * pixels. Heun ("ode") runs 2 model evals
-    per step; "sde"/"dpm" run 1."""
+    per step; "sde"/"dpm"/"ddim"/"rf" (Euler default) run 1."""
     evals = n_steps * (2 if sampler == "ode" else 1)
     budget = 12 * 300 * (256 // 64) ** 2  # images * evals * (px/64)^2, measured safe
     scale = max(1, (img_size + 63) // 64) ** 2

@@ -88,6 +88,7 @@ class ScoreModelService:
             sample_ddim,
             sample_dpmpp_2m,
             sample_probability_flow_ode,
+            sample_rectified_flow,
             sample_reverse_sde_euler_maruyama,
         )
 
@@ -106,12 +107,25 @@ class ScoreModelService:
         if use_ema and state.get("ema_params") is not None:
             params = state["ema_params"]
 
-        # --- serving settings: explicit > checkpoint (distilled) > reference
+        # --- serving settings: explicit > checkpoint (distilled/fm) > reference
         distilled = bool(cfg.get("distilled"))
+        flow = str(cfg.get("param", "eps")) == "fm"
         if sampler is None:
-            sampler = "ddim" if distilled else _REFERENCE_SERVE["sampler"]
+            sampler = ("ddim" if distilled else
+                       "rf" if flow else _REFERENCE_SERVE["sampler"])
+        if flow and sampler != "rf":
+            raise ValueError(
+                f"sampler {sampler!r} expects a VP eps/v model; {ckpt_path} "
+                "was trained with --param fm (rectified flow) — serve with "
+                "sampler='rf'")
+        if not flow and sampler == "rf":
+            raise ValueError(
+                "sampler 'rf' integrates a rectified-flow velocity field; "
+                f"{ckpt_path} was trained with --param "
+                f"{cfg.get('param', 'eps')}")
         if steps is None:
-            steps = int(cfg["distill_steps"]) if distilled else _REFERENCE_SERVE["steps"]
+            steps = (int(cfg["distill_steps"]) if distilled else
+                     50 if flow else _REFERENCE_SERVE["steps"])
         if t_end is None:
             t_end = float(cfg["distill_t_end"]) if distilled else _REFERENCE_SERVE["t_end"]
         if guidance_scale is None:
@@ -171,6 +185,7 @@ class ScoreModelService:
             "sde": sample_reverse_sde_euler_maruyama,
             "dpm": sample_dpmpp_2m,
             "ddim": sample_ddim,
+            "rf": sample_rectified_flow,
         }[self.sampler_name]
 
         cap = auto_chunk(self.img_size, self.steps, self.sampler_name)
