@@ -186,6 +186,54 @@ def test_rf_sample_chunked():
     assert (x >= 0).all() and (x <= 1).all()
 
 
+def test_fm_sharded_step_matches_single_device():
+    """--param fm --shard 8: the data-parallel fm train step is numerically
+    the single-device step (same contract as the eps objective,
+    test_sharding.py)."""
+    from toycrystals_tpu.parallel import make_mesh, replicate, shard_batch
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    b, hw = 16, 16
+    x0 = jax.random.uniform(jax.random.key(1), (b, hw, hw, 1))
+    y_cat = jnp.arange(b, dtype=jnp.int32) % 4
+    y_cont = jnp.zeros((b, 4))
+    params = model.init(K, x0, jnp.zeros((b,)), y_cat, y_cont)["params"]
+    tx = optax.sgd(1e-2)  # linear in grads (see test_sharding.py rationale)
+    step = make_sde_train_step(model, tx, SDE, 4, p_uncond=0.0, t_power=1.0,
+                               ema_decay=0.0, parameterization="fm")
+
+    mesh = make_mesh()
+    s2 = replicate(mesh, create_train_state(jax.tree.map(jnp.copy, params), tx))
+    s1 = create_train_state(jax.tree.map(jnp.copy, params), tx)
+    s1, loss1 = step(s1, x0, y_cat, y_cont, K)
+    s2, loss2 = step(s2, *shard_batch(mesh, (x0, y_cat, y_cont)), K)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s1.params)[0]),
+        np.asarray(jax.tree.leaves(s2.params)[0]), rtol=1e-4, atol=1e-6)
+
+
+def test_rf_sharded_sampling():
+    """--sampler rf --shard 8: batch sharded over 'data', scan carry pinned
+    to the mesh via sharding=."""
+    from toycrystals_tpu.parallel import data_sharding, make_mesh
+
+    model, _, state, _ = _model_state()
+    apply_fn = lambda p, xt, t, yc, yv: model.apply({"params": p}, xt, t, yc, yv)
+    mesh = make_mesh()
+    b = 16
+    y_cat = jax.device_put(jnp.arange(b, dtype=jnp.int32) % 4,
+                           data_sharding(mesh, 1))
+    y_cont = jax.device_put(jnp.zeros((b, 4)), data_sharding(mesh, 2))
+    x = sample_rectified_flow(
+        apply_fn, state.params, SDE, y_cat, y_cont, (b, 16, 16, 1),
+        jax.random.key(20), n_steps=2, guidance_scale=1.5,
+        sharding=data_sharding(mesh, 4))
+    assert x.shape == (b, 16, 16, 1)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_fm_full_loss_path():
     """diffusion_loss_eps end-to-end with the fm parameterization (random
     half + deterministic half together) is finite and differentiable."""
