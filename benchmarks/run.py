@@ -352,6 +352,11 @@ def main() -> int:
             p_d = REPO / f"assets/score_based_diffusion/distill_{steps}step.png"
             if p_d.exists():
                 grids[f"ours_distill{steps}"] = (p_d, 64)
+        # rectified-flow (--param fm) few-step Euler grids, once committed
+        for steps in (50, 20, 8, 4, 2, 1):
+            p_rf = REPO / f"assets/score_based_diffusion/fm64_rf{steps}_samples.png"
+            if p_rf.exists():
+                grids[f"ours_fm_rf{steps}"] = (p_rf, 64)
         # higher-step DPM at 256 (does more solver steps close the gap?)
         for steps in (100,):
             p_dpm = (REPO / "assets/score_based_diffusion_256/"
