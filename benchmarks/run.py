@@ -163,6 +163,16 @@ def main() -> int:
             n_steps=50, guidance_scale=1.5, t_end=0.005), key, repeats=2)
         results["rf_sampling"] = {"images_per_sec": round(b / dt, 2),
                                   "batch": b, "steps": 50, "cfg": 1.5}
+        # few-step serving shape: rf-4 holds reference-grid fidelity with no
+        # distillation (assets/FIGURES.md); like the distilled rows, a
+        # millisecond dispatch wants a big batch to amortise per-dispatch cost
+        rb = max(b, 1024)
+        ry_cat, ry_cont = sample_grid_conditions(rb, 4, 4)
+        dt = timeit(lambda k: sample_rectified_flow(
+            uapply, uparams, sde, ry_cat, ry_cont, (rb, 64, 64, 1), k,
+            n_steps=4, guidance_scale=1.5, t_end=0.005), key, repeats=2)
+        results["rf_fewstep_sampling"] = {"images_per_sec": round(rb / dt, 2),
+                                          "batch": rb, "steps": 4, "cfg": 1.5}
 
     if want("fewstep"):
         # Progressive-distilled serving path (scripts/distill_sde_score_model
