@@ -170,6 +170,9 @@ def main() -> int:
                     "checkpoint was trained with --param fm — use --sampler rf")
             args.sampler = "rf"
             print("flow-matching checkpoint: --sampler defaulting to rf")
+        # sample on the shifted grid the model was trained for (--fm-shift)
+        if float(cfg.get("fm_shift", 1.0)) != 1.0:
+            extra_kw["t_shift"] = float(cfg["fm_shift"])
     elif args.sampler == "rf":
         raise SystemExit(
             "--sampler rf integrates a rectified-flow velocity field; this "

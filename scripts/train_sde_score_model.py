@@ -97,6 +97,13 @@ def main() -> int:
                         "checkpoint config so the sampler adapts "
                         "automatically. Default: eps, or the checkpoint's "
                         "param on --resume.")
+    p.add_argument("--fm-shift", type=float, default=None,
+                   help="SD3/Flux resolution timestep shift for --param fm: "
+                        "t -> s*t/(1+(s-1)*t) in the training draw AND the "
+                        "rf sampling grid (flow_matching.py:shift_t). "
+                        "s = img_size/64 matches the VP --logsnr-shift "
+                        "recipe (use 4.0 at 256x256). Default: 1.0, or the "
+                        "checkpoint's value on --resume.")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="0 disables EMA. Typical: 0.999 or 0.9999")
 
@@ -283,6 +290,11 @@ def main() -> int:
         args.beta_max = float(rcfg.get("beta_max", 30.0))
     if args.logsnr_shift is None:
         args.logsnr_shift = float(rcfg.get("logsnr_shift", 0.0))
+    if args.fm_shift is None:
+        args.fm_shift = float(rcfg.get("fm_shift", 1.0))
+    if args.fm_shift != 1.0 and args.param != "fm":
+        raise SystemExit("--fm-shift shifts the rectified-flow timestep draw "
+                         "(--param fm); VP runs shift via --logsnr-shift")
 
     mesh = setup_mesh(args.shard, args.batch_size,
                       shard_space=getattr(args, "shard_space", 0),
@@ -394,11 +406,13 @@ def main() -> int:
             parameterization=args.param,
             grad_accum=args.grad_accum,
             nan_safe_metrics=args.skip_nonfinite > 0,
+            t_shift=args.fm_shift,
         )
     else:
         step = make_sde_train_step(
             model, tx, sde, args.n_types, args.p_uncond, args.t_power,
             args.ema_decay, args.param, args.grad_accum,
+            t_shift=args.fm_shift,
         )
         if get_batch is not None:
             _get_batch = get_batch
@@ -428,7 +442,7 @@ def main() -> int:
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
         "logsnr_shift": args.logsnr_shift,
         "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": dtype_name,
-        "param": args.param,
+        "param": args.param, "fm_shift": args.fm_shift,
     }
 
     start_epoch = 0
@@ -466,17 +480,19 @@ def main() -> int:
             state, _ = ckpt_mgr.restore_onto(state)
 
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
-    grid_sampler, grid_name = sample_probability_flow_ode, "ode"
+    grid_sampler, grid_name, grid_kw = sample_probability_flow_ode, "ode", {}
     if args.param == "v":
         from toycrystals_tpu.models import eps_apply_from_v
 
         apply_fn = eps_apply_from_v(sde, apply_fn)
     elif args.param == "fm":
         # the net predicts a velocity field, not eps: in-training grids
-        # integrate it with the rectified-flow Euler sampler
+        # integrate it with the rectified-flow Euler sampler, on the same
+        # shifted grid the model was trained for
         from toycrystals_tpu.models import sample_rectified_flow
 
         grid_sampler, grid_name = sample_rectified_flow, "rf"
+        grid_kw = {"t_shift": args.fm_shift}
 
     def save_samples(out_path, sample_state):
         prm = sample_state.sample_params if args.sample_from_ema == 1 else sample_state.params
@@ -496,7 +512,7 @@ def main() -> int:
             chunk=auto_chunk(img_size, args.sample_steps, grid_name), mesh=mesh,
             n_steps=args.sample_steps, guidance_scale=args.cfg,
             t_end=args.t_end, n_types=args.n_types,
-            clip_x0=bool(args.clip_x0), **sp_kw,
+            clip_x0=bool(args.clip_x0), **grid_kw, **sp_kw,
         )
         save_image_grid(
             x, out_path,

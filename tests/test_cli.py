@@ -284,11 +284,18 @@ def test_12_flow_matching_train_and_sample(workdir):
     run(
         "train_sde_score_model.py", "--procedural", "--n-samples", "64",
         "--epochs", "1", "--batch-size", "32", "--base-ch", "8",
-        "--emb-dim", "16", "--param", "fm", "--sample-steps", "3",
+        "--emb-dim", "16", "--param", "fm", "--fm-shift", "2.0",
+        "--sample-steps", "3",
         "--sample-every", "1", "--cfg", "1.5", "--out-dir", "runs/fm",
         cwd=workdir,
     )
-    assert (workdir / "runs/fm/checkpoints/sde_score_model_last.msgpack").exists()
+    ckpt = workdir / "runs/fm/checkpoints/sde_score_model_last.msgpack"
+    assert ckpt.exists()
+    # the resolution timestep shift is self-described in the checkpoint, so
+    # the sampler/serving integrate on the grid the model trained for
+    from toycrystals_tpu.utils.checkpoint import load_checkpoint
+
+    assert float(load_checkpoint(str(ckpt))["config"]["fm_shift"]) == 2.0
     # the in-training grid ran through the rf sampler
     assert (workdir / "runs/fm/results/sde_samples_epoch_001.png").exists()
 

@@ -186,6 +186,61 @@ def test_rf_sample_chunked():
     assert (x >= 0).all() and (x <= 1).all()
 
 
+def test_shift_t_identity_and_logsnr():
+    """shift_t: s=1 is the exact identity; endpoints fixed; monotone; and on
+    the straight path logSNR(t') = logSNR(t) − 2·ln s (the property that makes
+    s=4 the fm analogue of the VP logsnr_shift −2.77 at 256×256)."""
+    from toycrystals_tpu.models import shift_t
+
+    t = jnp.linspace(0.0, 1.0, 11)
+    np.testing.assert_array_equal(np.asarray(shift_t(t, 1.0)), np.asarray(t))
+    for s in (2.0, 4.0):
+        ts = shift_t(t, s)
+        assert float(ts[0]) == 0.0 and abs(float(ts[-1]) - 1.0) < 1e-7
+        assert (np.diff(np.asarray(ts)) > 0).all()
+        mid = t[1:-1]
+        logsnr = lambda x: 2.0 * jnp.log((1.0 - x) / x)
+        np.testing.assert_allclose(
+            np.asarray(logsnr(shift_t(mid, s))),
+            np.asarray(logsnr(mid)) - 2.0 * np.log(s), rtol=1e-5, atol=1e-5)
+
+
+def test_t_shift_biases_draw_towards_noise():
+    """draw_diffusion_loss_noise(t_shift=s>1) pushes the t draw towards 1
+    and is the exact shift_t image of the unshifted draw (same key)."""
+    from toycrystals_tpu.models import shift_t
+    from toycrystals_tpu.models.sde_score_model import draw_diffusion_loss_noise
+
+    x0, y_cat, y_cont = _batch(b=512, hw=4)
+    t0, eps0, _, _ = draw_diffusion_loss_noise(
+        x0, y_cat, y_cont, jax.random.key(30), 4, p_uncond=0.0)
+    t4, eps4, _, _ = draw_diffusion_loss_noise(
+        x0, y_cat, y_cont, jax.random.key(30), 4, p_uncond=0.0, t_shift=4.0)
+    np.testing.assert_allclose(np.asarray(t4), np.asarray(shift_t(t0, 4.0)),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(eps0), np.asarray(eps4))
+    assert float(t4.mean()) > float(t0.mean()) + 0.2
+
+
+def test_rf_shifted_grid_oracle_exact():
+    """The oracle velocity field is constant along trajectories, so Euler on
+    ANY monotone grid — including the shifted one — recovers x0 exactly."""
+    b, hw = 2, 8
+    x0_star = 0.4 * jnp.ones((1, hw, hw, 1))
+
+    def oracle(params, x, t, yc, yv):
+        return (x - x0_star) / t.reshape(-1, 1, 1, 1)
+
+    out = sample_rectified_flow(
+        oracle, {}, SDE, jnp.zeros((b,), jnp.int32), jnp.zeros((b, 4)),
+        (b, hw, hw, 1), jax.random.key(31), n_steps=3, guidance_scale=0.0,
+        t_shift=4.0)
+    want = (x0_star + 1.0) * 0.5
+    np.testing.assert_allclose(
+        np.asarray(out), np.broadcast_to(np.asarray(want), out.shape),
+        atol=1e-5)
+
+
 def test_fm_sharded_step_matches_single_device():
     """--param fm --shard 8: the data-parallel fm train step is numerically
     the single-device step (same contract as the eps objective,

@@ -5,7 +5,7 @@ from toycrystals_tpu.models.diffusion_prior import (
     DiffusionSchedule,
     timestep_embedding_discrete,
 )
-from toycrystals_tpu.models.flow_matching import sample_rectified_flow
+from toycrystals_tpu.models.flow_matching import sample_rectified_flow, shift_t
 from toycrystals_tpu.models.moe_prior import DiffusionPriorMoE, MoEFiLMResBlock
 from toycrystals_tpu.models.sde_score_model import (
     CondUNetTiny,
@@ -49,4 +49,5 @@ __all__ = [
     "sample_probability_flow_ode",
     "sample_rectified_flow",
     "sample_reverse_sde_euler_maruyama",
+    "shift_t",
 ]

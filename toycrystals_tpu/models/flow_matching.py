@@ -43,6 +43,23 @@ from toycrystals_tpu.models.sde_score_model import (
 )
 
 
+def shift_t(t: jax.Array, shift: float) -> jax.Array:
+    """SD3/Flux resolution timestep shift: t' = s·t / (1 + (s−1)·t).
+
+    Monotone [0,1]→[0,1] with fixed endpoints; s>1 pushes mass towards t=1
+    (the noise side). On the straight-line path logSNR(t) = 2·ln((1−t)/t),
+    so shift s subtracts exactly 2·ln s of logSNR — the flow-matching
+    analogue of the VP schedule's `logsnr_shift` (sde_score_model.py):
+    s=4 ≈ the −2.77 shift the 256×256 VP runs use, i.e. s = img_size/64
+    matches noise statistics across resolution. Applied to BOTH the training
+    t-draw (`draw_diffusion_loss_noise(t_shift=...)`) and the sampler grid
+    below; stored in the checkpoint config as `fm_shift`."""
+    s = float(shift)
+    if s == 1.0:
+        return t
+    return s * t / (1.0 + (s - 1.0) * t)
+
+
 def _maybe_clip_x0_fm(v_hat, x, tb, clip_x0: bool):
     """Static x0-thresholding in flow space: the implied x0 = x − t·v is
     clipped to the data range [−1, 1] and the velocity re-derived
@@ -54,7 +71,7 @@ def _maybe_clip_x0_fm(v_hat, x, tb, clip_x0: bool):
     return (x - x0) / jnp.maximum(tb, 1e-6)
 
 
-@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11, 12, 13))
+@partial(jax.jit, static_argnums=(0, 5, 7, 8, 9, 10, 11, 12, 13, 14))
 def sample_rectified_flow(
     apply_fn: Callable[..., jax.Array],
     params: Any,
@@ -70,6 +87,7 @@ def sample_rectified_flow(
     clip_x0: bool = False,
     sharding=None,
     solver: str = "euler",
+    t_shift: float = 1.0,
 ) -> jax.Array:
     """Integrate the learned velocity field from noise (t=1) to data (t_end)
     as one compiled `lax.scan`; returns images in [0, 1] NHWC.
@@ -81,7 +99,10 @@ def sample_rectified_flow(
     the rectified-flow default — near-straight paths make it accurate) or
     "heun" (2 evals/step trapezoidal, for very low step counts).
     guidance_scale combines velocities exactly like ε (affine in the net
-    output, shared (x, t) across the fused cond/uncond doubled batch)."""
+    output, shared (x, t) across the fused cond/uncond doubled batch).
+    t_shift: evaluate the uniform grid through `shift_t` so inference spends
+    its steps where a `--fm-shift`-trained model spent its capacity (pass the
+    checkpoint's fm_shift; 1.0 = exact no-op)."""
     del sde
     if solver not in ("euler", "heun"):
         raise ValueError(f"solver must be euler|heun, got {solver}")
@@ -91,7 +112,7 @@ def sample_rectified_flow(
     gs = float(guidance_scale)
     pin = _make_pin(sharding)
 
-    ts = jnp.linspace(1.0, t_end, n_steps + 1)
+    ts = shift_t(jnp.linspace(1.0, t_end, n_steps + 1), t_shift)
     x = pin(jax.random.normal(key, (b, h, w, c), jnp.float32))
 
     def velocity(x, tb):

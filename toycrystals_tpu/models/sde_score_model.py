@@ -254,6 +254,7 @@ def diffusion_loss_eps(
     p_uncond: float = 0.1,
     t_power: float = 1.0,
     parameterization: str = "eps",
+    t_shift: float = 1.0,
 ) -> jax.Array:
     """Denoising MSE with CFG conditioning dropout
     (`sde_score_model.py:358-399`). x0 in [0,1] NHWC; mapped to [-1,1].
@@ -270,7 +271,7 @@ def diffusion_loss_eps(
       (models/flow_matching.py); sample with `sample_rectified_flow`.
     """
     t, eps, y_cat, y_cont = draw_diffusion_loss_noise(
-        x0, y_cat, y_cont, key, n_types, p_uncond, t_power)
+        x0, y_cat, y_cont, key, n_types, p_uncond, t_power, t_shift)
     return diffusion_loss_eps_given(
         apply_fn, params, sde, x0, y_cat, y_cont, t, eps, parameterization)
 
@@ -283,16 +284,25 @@ def draw_diffusion_loss_noise(
     n_types: int,
     p_uncond: float = 0.1,
     t_power: float = 1.0,
+    t_shift: float = 1.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """The randomness half of `diffusion_loss_eps`: per-sample timesteps,
     noise, and CFG-dropped conditioning, for the whole batch. Split out so
     gradient accumulation (train/steps.py) can draw ONCE for the full batch
     and scan chunks of (t, eps) — making `--grad-accum k` numerically
-    identical to the unsplit step, not merely equal in distribution."""
+    identical to the unsplit step, not merely equal in distribution.
+
+    t_shift != 1 applies the SD3 resolution timestep shift to the draw
+    (models/flow_matching.py:shift_t; the fm analogue of the VP
+    `logsnr_shift` — trainer flag `--fm-shift`)."""
     b = x0.shape[0]
     k_t, k_eps, k_drop = jax.random.split(key, 3)
     u = jax.random.uniform(k_t, (b,))
     t = u ** float(t_power)  # t_power > 1 biases towards small t
+    if float(t_shift) != 1.0:
+        from toycrystals_tpu.models.flow_matching import shift_t
+
+        t = shift_t(t, t_shift)
     eps = jax.random.normal(k_eps, x0.shape, x0.dtype)
     if p_uncond > 0.0:
         drop = jax.random.uniform(k_drop, (b,)) < p_uncond

@@ -177,6 +177,10 @@ class ScoreModelService:
             # ddim consumes the raw net output; the v path is the only
             # well-conditioned route at the t=1 evals a few-step student makes
             self._extra_kw["prediction"] = str(cfg.get("param", "eps"))
+        elif self.sampler_name == "rf":
+            # fm checkpoints sample on the shifted grid they trained for
+            if float(cfg.get("fm_shift", 1.0)) != 1.0:
+                self._extra_kw["t_shift"] = float(cfg["fm_shift"])
         elif str(cfg.get("param", "eps")) == "v":
             apply_fn = eps_apply_from_v(self.sde, apply_fn)
         self._apply_fn = apply_fn

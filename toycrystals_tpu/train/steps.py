@@ -143,6 +143,7 @@ def make_sde_train_step(
     ema_decay: float,
     parameterization: str = "eps",
     grad_accum: int = 1,
+    t_shift: float = 1.0,
 ) -> Callable:
     """Returns step(state, x0, y_cat, y_cont, key) -> (state, loss).
 
@@ -173,7 +174,7 @@ def make_sde_train_step(
     def loss_fn(params, x0, y_cat, y_cont, key):
         return diffusion_loss_eps(
             apply_fn, params, sde, x0, y_cat, y_cont, key, n_types, p_uncond,
-            t_power, parameterization,
+            t_power, parameterization, t_shift,
         )
 
     def grads_of(params, x0, y_cat, y_cont, key):
@@ -184,7 +185,7 @@ def make_sde_train_step(
         if b % k:
             raise ValueError(f"batch {b} not divisible by grad_accum {k}")
         t, eps, y_cat, y_cont = draw_diffusion_loss_noise(
-            x0, y_cat, y_cont, key, n_types, p_uncond, t_power)
+            x0, y_cat, y_cont, key, n_types, p_uncond, t_power, t_shift)
 
         def chunk(a):
             return a.reshape((k, b // k) + a.shape[1:])
@@ -379,6 +380,7 @@ def make_sde_train_epoch(
     parameterization: str = "eps",
     grad_accum: int = 1,
     nan_safe_metrics: bool = False,
+    t_shift: float = 1.0,
 ) -> Callable:
     """A whole SDE training epoch as one compiled program (new TPU-native
     scope — the reference runs one eager step per batch from a Python loop,
@@ -396,7 +398,8 @@ def make_sde_train_epoch(
     shuffle and the per-step loss randomness; the state is donated.
     """
     step_fn = make_sde_train_step(model, tx, sde, n_types, p_uncond, t_power,
-                                  ema_decay, parameterization, grad_accum)
+                                  ema_decay, parameterization, grad_accum,
+                                  t_shift)
     get_batch = _batch_source(lattice_cfg, dataset_seed, resident, mesh=mesh)
 
     def run_batch(state, idx, key):
