@@ -73,6 +73,12 @@ def main() -> int:
                         "setup, which makes phase 0 a pure solver-gap fit.")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   help="Clip gradients to this global L2 norm before Adam "
+                        "(optax.clip_by_global_norm inside the compiled "
+                        "step). 0 disables (reference semantics). Changes "
+                        "the optimizer-state layout: pass the same value "
+                        "when resuming.")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="Student EMA (0 disables; Salimans & Ho distill "
                         "without EMA).")
@@ -212,6 +218,9 @@ def main() -> int:
 
     key = jax.random.key(args.seed)
     tx = optax.adam(args.lr)
+    if args.clip_grad_norm > 0.0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(args.clip_grad_norm), tx)
     student_cfg = dict(tcfg)
     student_cfg.update({
         "param": "v", "dtype": dtype_name, "img_size": img_size,

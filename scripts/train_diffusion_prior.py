@@ -51,6 +51,12 @@ def main() -> int:
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--epochs", type=int, default=600)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   help="Clip gradients to this global L2 norm before Adam "
+                        "(optax.clip_by_global_norm inside the compiled "
+                        "step). 0 disables (reference semantics). Changes "
+                        "the optimizer-state layout: pass the same value "
+                        "when resuming.")
     # Sampling
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--prior-ckpt", type=str, default="checkpoints/diffusion_prior_last.msgpack")
@@ -277,6 +283,9 @@ def main() -> int:
         jnp.zeros((2,), jnp.int32), jnp.zeros((2, args.y_cont_dim)),
     )["params"]
     tx = optax.adam(args.lr)
+    if args.clip_grad_norm > 0.0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(args.clip_grad_norm), tx)
     state = create_train_state(params, tx)
 
     if (args.sample_only or args.resume) and os.path.exists(args.prior_ckpt):

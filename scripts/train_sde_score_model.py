@@ -104,6 +104,19 @@ def main() -> int:
                         "s = img_size/64 matches the VP --logsnr-shift "
                         "recipe (use 4.0 at 256x256). Default: 1.0, or the "
                         "checkpoint's value on --resume.")
+    p.add_argument("--min-snr-gamma", type=float, default=None,
+                   help="min-SNR-γ loss weighting (Hang et al. 2023) for "
+                        "--param eps|v: per-sample MSE scaled by "
+                        "min(SNR,γ)/SNR (eps) or min(SNR,γ)/(SNR+1) (v), "
+                        "capping the low-noise steps' gradient dominance. "
+                        "Typical γ=5. Stored in the checkpoint config. "
+                        "Default: 0 (off, reference semantics), or the "
+                        "checkpoint's value on --resume.")
+    p.add_argument("--clip-grad-norm", type=float, default=None,
+                   help="Clip gradients to this global L2 norm before Adam "
+                        "(optax.clip_by_global_norm inside the compiled "
+                        "step). 0 disables (reference semantics). Default: "
+                        "0, or the checkpoint's value on --resume.")
     p.add_argument("--ema-decay", type=float, default=0.0,
                    help="0 disables EMA. Typical: 0.999 or 0.9999")
 
@@ -295,6 +308,16 @@ def main() -> int:
     if args.fm_shift != 1.0 and args.param != "fm":
         raise SystemExit("--fm-shift shifts the rectified-flow timestep draw "
                          "(--param fm); VP runs shift via --logsnr-shift")
+    if args.min_snr_gamma is None:
+        args.min_snr_gamma = float(rcfg.get("min_snr_gamma", 0.0))
+    if args.min_snr_gamma > 0.0 and args.param == "fm":
+        raise SystemExit("--min-snr-gamma weights the VP objectives "
+                         "(--param eps|v); rectified flow weights timesteps "
+                         "via --fm-shift instead")
+    # clip changes the opt_state layout (optax.chain adds a leaf) — falling
+    # back to the checkpoint's value keeps --resume restores structural
+    if args.clip_grad_norm is None:
+        args.clip_grad_norm = float(rcfg.get("clip_grad_norm", 0.0))
 
     mesh = setup_mesh(args.shard, args.batch_size,
                       shard_space=getattr(args, "shard_space", 0),
@@ -385,6 +408,10 @@ def main() -> int:
             print(f"lr schedule: constant {args.lr:g} after "
                   f"{args.warmup_steps} warmup steps")
     tx = optax.adam(lr)
+    if args.clip_grad_norm > 0.0:
+        # clip BEFORE Adam so the moments see the clipped gradients too
+        tx = optax.chain(optax.clip_by_global_norm(args.clip_grad_norm), tx)
+        print(f"gradient clipping: global norm <= {args.clip_grad_norm:g}")
     if args.skip_nonfinite > 0:
         # reject NaN/Inf gradient steps in the compiled update itself — the
         # optimizer state, params and EMA pass through untouched on a
@@ -407,12 +434,14 @@ def main() -> int:
             grad_accum=args.grad_accum,
             nan_safe_metrics=args.skip_nonfinite > 0,
             t_shift=args.fm_shift,
+            min_snr_gamma=args.min_snr_gamma,
         )
     else:
         step = make_sde_train_step(
             model, tx, sde, args.n_types, args.p_uncond, args.t_power,
             args.ema_decay, args.param, args.grad_accum,
             t_shift=args.fm_shift,
+            min_snr_gamma=args.min_snr_gamma,
         )
         if get_batch is not None:
             _get_batch = get_batch
@@ -443,6 +472,8 @@ def main() -> int:
         "logsnr_shift": args.logsnr_shift,
         "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": dtype_name,
         "param": args.param, "fm_shift": args.fm_shift,
+        "min_snr_gamma": args.min_snr_gamma,
+        "clip_grad_norm": args.clip_grad_norm,
     }
 
     start_epoch = 0

@@ -30,6 +30,12 @@ def main() -> int:
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   help="Clip gradients to this global L2 norm before Adam "
+                        "(optax.clip_by_global_norm inside the compiled "
+                        "step). 0 disables (reference semantics). Changes "
+                        "the optimizer-state layout: pass the same value "
+                        "when resuming.")
     p.add_argument("--z-dim", type=int, default=32)
     p.add_argument("--n-types", type=int, default=4)
     p.add_argument("--y-cont-dim", type=int, default=4)
@@ -136,6 +142,9 @@ def main() -> int:
         )
     params = model.init({"params": key, "reparam": key}, *init_args)["params"]
     tx = optax.adam(args.lr)
+    if args.clip_grad_norm > 0.0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(args.clip_grad_norm), tx)
     state = create_train_state(params, tx)
 
     import os

@@ -325,3 +325,46 @@ def test_12_flow_matching_train_and_sample(workdir):
     rec = json.loads(
         [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
     assert rec["sampler"] == "rf"
+
+
+def test_13_min_snr_and_grad_clip(workdir):
+    """--min-snr-gamma + --clip-grad-norm train end-to-end, self-describe in
+    the checkpoint config, and --resume WITHOUT the flags falls back to the
+    stored values (the clip chain changes the opt_state layout, so the
+    fallback is what keeps the restore structural)."""
+    r = run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "1", "--batch-size", "16", "--base-ch", "8",
+        "--emb-dim", "16", "--sample-every", "99",
+        "--min-snr-gamma", "5.0", "--clip-grad-norm", "1.0",
+        "--out-dir", "runs/msnr", cwd=workdir,
+    )
+    assert "gradient clipping: global norm <= 1" in r.stdout
+    from toycrystals_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = load_checkpoint(
+        str(workdir / "runs/msnr/checkpoints/sde_score_model_last.msgpack")
+    )["config"]
+    assert float(cfg["min_snr_gamma"]) == 5.0
+    assert float(cfg["clip_grad_norm"]) == 1.0
+
+    r = run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "2", "--batch-size", "16", "--base-ch", "8",
+        "--emb-dim", "16", "--sample-every", "99",
+        "--out-dir", "runs/msnr", "--resume", cwd=workdir,
+    )
+    assert "resumed from" in r.stdout and "epoch 002/2" in r.stdout
+    assert "gradient clipping: global norm <= 1" in r.stdout
+
+    # weighting is undefined for rectified flow: fail loudly, don't train
+    import subprocess
+    bad = subprocess.run(
+        [sys.executable, str(SCRIPTS / "train_sde_score_model.py"),
+         "--procedural", "--n-samples", "64", "--epochs", "1",
+         "--batch-size", "16", "--base-ch", "8", "--emb-dim", "16",
+         "--param", "fm", "--min-snr-gamma", "5.0", "--out-dir", "runs/bad"],
+        cwd=workdir, env=ENV, capture_output=True, text=True, timeout=900,
+    )
+    assert bad.returncode != 0
+    assert "--min-snr-gamma" in (bad.stdout + bad.stderr)

@@ -309,3 +309,95 @@ def test_skip_nonfinite_guard():
     finite = all(np.isfinite(np.asarray(v)).all()
                  for v in jax.tree.leaves(state.params))
     assert not finite
+
+
+def test_min_snr_weighting_math():
+    """min-SNR-γ (`--min-snr-gamma`): exact per-sample weights against a
+    numpy oracle on a constant predictor; γ→∞ reduces to the unweighted eps
+    loss bitwise; fm + weighting raises."""
+    import pytest
+
+    from toycrystals_tpu.models.sde_score_model import diffusion_loss_eps_given
+
+    sde = VPSDE(0.1, 30.0)
+    b, hw = 16, 8
+    x0 = jax.random.uniform(jax.random.key(2), (b, hw, hw, 1))
+    ycat = jnp.zeros((b,), jnp.int32)
+    ycont = jnp.zeros((b, 4))
+    t = jnp.linspace(0.02, 0.98, b)
+    eps = jax.random.normal(jax.random.key(3), x0.shape)
+    zero_pred = lambda p, x_t, tt, yc, yv: jnp.zeros_like(x_t)
+
+    base = diffusion_loss_eps_given(zero_pred, {}, sde, x0, ycat, ycont, t, eps)
+    huge = diffusion_loss_eps_given(zero_pred, {}, sde, x0, ycat, ycont, t,
+                                    eps, "eps", min_snr_gamma=1e12)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(huge))
+
+    a = np.asarray(sde.alpha(t))
+    s = np.asarray(sde.sigma(t))
+    snr = (a / s) ** 2
+    se = np.asarray(eps) ** 2  # pred = 0, target = eps
+    for gamma in (1.0, 5.0):
+        got = diffusion_loss_eps_given(zero_pred, {}, sde, x0, ycat, ycont,
+                                       t, eps, "eps", min_snr_gamma=gamma)
+        w = np.minimum(snr, gamma) / snr
+        want = np.mean(w[:, None, None, None] * se)
+        np.testing.assert_allclose(float(got), want, rtol=1e-6)
+
+    # v-prediction: target = a*eps - s*x0, weight min(snr,γ)/(snr+1)
+    x0m = np.asarray(x0) * 2.0 - 1.0
+    se_v = (a[:, None, None, None] * np.asarray(eps)
+            - s[:, None, None, None] * x0m) ** 2
+    got_v = diffusion_loss_eps_given(zero_pred, {}, sde, x0, ycat, ycont,
+                                     t, eps, "v", min_snr_gamma=5.0)
+    w_v = np.minimum(snr, 5.0) / (snr + 1.0)
+    np.testing.assert_allclose(
+        float(got_v), np.mean(w_v[:, None, None, None] * se_v), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="min-SNR"):
+        diffusion_loss_eps_given(zero_pred, {}, sde, x0, ycat, ycont, t, eps,
+                                 "fm", min_snr_gamma=5.0)
+
+
+def test_min_snr_grad_accum_matches_unsplit():
+    """`--min-snr-gamma` composes with `--grad-accum`: the chunked step is
+    numerically the unsplit weighted step (same contract as the unweighted
+    objective, test_sde_grad_accum_matches_unsplit)."""
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x, ycat, ycont = _fake_batch(b=8)
+    params = model.init(K, x, jnp.zeros((8,)), ycat, ycont)["params"]
+    tx = optax.sgd(1e-2)  # linear in grads: update-equality is exact-ish
+    sde = VPSDE(0.1, 30.0)
+    outs = []
+    for accum in (1, 4):
+        state = create_train_state(jax.tree.map(jnp.copy, params), tx)
+        step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1,
+                                   t_power=1.0, ema_decay=0.0,
+                                   grad_accum=accum, min_snr_gamma=5.0)
+        for i in range(3):
+            state, loss = step(state, x, ycat, ycont, jax.random.fold_in(K, i))
+        outs.append((float(loss), jax.tree.map(np.asarray, state.params)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_clip_grad_norm_chain_bounds_update():
+    """`--clip-grad-norm` wiring: with plain SGD behind the clip, the
+    post-clip update's global norm is exactly min(G, ||g||); an enormous
+    loss scale therefore produces a bounded parameter move."""
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x, ycat, ycont = _fake_batch()
+    params = model.init(K, x, jnp.zeros((8,)), ycat, ycont)["params"]
+    clip = 0.5
+    tx = optax.chain(optax.clip_by_global_norm(clip), optax.sgd(1.0))
+    sde = VPSDE(0.1, 30.0)
+    state = create_train_state(params, tx)
+    step = make_sde_train_step(model, tx, sde, 4, p_uncond=0.1, t_power=1.0,
+                               ema_decay=0.0)
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, _ = step(state, x, ycat, ycont, jax.random.fold_in(K, 0))
+    deltas = [np.asarray(b) - a for a, b in
+              zip(jax.tree.leaves(p0), jax.tree.leaves(state.params))]
+    gnorm = float(np.sqrt(sum((d ** 2).sum() for d in deltas)))
+    assert gnorm <= clip + 1e-5

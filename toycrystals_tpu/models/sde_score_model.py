@@ -255,6 +255,7 @@ def diffusion_loss_eps(
     t_power: float = 1.0,
     parameterization: str = "eps",
     t_shift: float = 1.0,
+    min_snr_gamma: float = 0.0,
 ) -> jax.Array:
     """Denoising MSE with CFG conditioning dropout
     (`sde_score_model.py:358-399`). x0 in [0,1] NHWC; mapped to [-1,1].
@@ -269,11 +270,14 @@ def diffusion_loss_eps(
       eps-based samplers with `eps_apply_from_v`.
       "fm"  — rectified-flow velocity matching on the straight-line path
       (models/flow_matching.py); sample with `sample_rectified_flow`.
+    min_snr_gamma > 0 enables min-SNR-γ loss weighting (see
+    `diffusion_loss_eps_given`).
     """
     t, eps, y_cat, y_cont = draw_diffusion_loss_noise(
         x0, y_cat, y_cont, key, n_types, p_uncond, t_power, t_shift)
     return diffusion_loss_eps_given(
-        apply_fn, params, sde, x0, y_cat, y_cont, t, eps, parameterization)
+        apply_fn, params, sde, x0, y_cat, y_cont, t, eps, parameterization,
+        min_snr_gamma)
 
 
 def draw_diffusion_loss_noise(
@@ -321,6 +325,7 @@ def diffusion_loss_eps_given(
     t: jax.Array,
     eps: jax.Array,
     parameterization: str = "eps",
+    min_snr_gamma: float = 0.0,
 ) -> jax.Array:
     """The deterministic half of `diffusion_loss_eps`: perturb with the GIVEN
     (t, eps) and return the MSE. x0 raw in [0,1] (mapped to [-1,1] here);
@@ -329,12 +334,24 @@ def diffusion_loss_eps_given(
     "fm" swaps the VP marginal for the rectified-flow straight-line path
     x_t = (1-t)·x0 + t·eps with velocity target u = eps − x0 (see
     models/flow_matching.py); it lives here so the grad-accum / fused-epoch
-    machinery (train/steps.py) is shared across all three objectives."""
+    machinery (train/steps.py) is shared across all three objectives.
+
+    min_snr_gamma > 0 enables min-SNR-γ per-sample loss weighting (Hang et
+    al. 2023, trainer flag `--min-snr-gamma`): the per-sample pixel-mean MSE
+    is scaled by min(SNR, γ)/SNR for "eps" and min(SNR, γ)/(SNR+1) for "v",
+    SNR(t) = α²/σ² — capping the implicit up-weighting of low-noise steps so
+    they stop dominating the gradient. γ→∞ recovers the unweighted loss
+    exactly for "eps" (for "v" it recovers the SNR/(SNR+1)-weighted eps-loss
+    the v-target itself encodes). Not defined for "fm" (raises)."""
     if parameterization not in ("eps", "v", "fm"):
         raise ValueError(f"parameterization must be eps|v|fm, got {parameterization}")
     b = x0.shape[0]
     x0 = x0 * 2.0 - 1.0
     if parameterization == "fm":
+        if min_snr_gamma > 0.0:
+            raise ValueError("min-SNR weighting targets the VP objectives "
+                             "(eps|v); rectified flow (fm) weights timesteps "
+                             "via --fm-shift instead")
         tb = t.reshape(b, 1, 1, 1)
         x_t = (1.0 - tb) * x0 + tb * eps
         pred = apply_fn(params, x_t, t, y_cat, y_cont)
@@ -344,7 +361,13 @@ def diffusion_loss_eps_given(
     x_t = a * x0 + s * eps
     pred = apply_fn(params, x_t, t, y_cat, y_cont)
     target = eps if parameterization == "eps" else a * eps - s * x0
-    return jnp.mean((pred - target) ** 2)
+    se = (pred - target) ** 2
+    if min_snr_gamma > 0.0:
+        snr = (a / s) ** 2
+        w = jnp.minimum(snr, min_snr_gamma) / (
+            snr if parameterization == "eps" else snr + 1.0)
+        return jnp.mean(w * se)
+    return jnp.mean(se)
 
 
 def eps_apply_from_v(sde: VPSDE, apply_fn: Callable[..., jax.Array]):

@@ -144,6 +144,7 @@ def make_sde_train_step(
     parameterization: str = "eps",
     grad_accum: int = 1,
     t_shift: float = 1.0,
+    min_snr_gamma: float = 0.0,
 ) -> Callable:
     """Returns step(state, x0, y_cat, y_cont, key) -> (state, loss).
 
@@ -174,7 +175,7 @@ def make_sde_train_step(
     def loss_fn(params, x0, y_cat, y_cont, key):
         return diffusion_loss_eps(
             apply_fn, params, sde, x0, y_cat, y_cont, key, n_types, p_uncond,
-            t_power, parameterization, t_shift,
+            t_power, parameterization, t_shift, min_snr_gamma,
         )
 
     def grads_of(params, x0, y_cat, y_cont, key):
@@ -192,7 +193,8 @@ def make_sde_train_step(
 
         def core(params, x0c, cc, vc, tc, ec):
             return diffusion_loss_eps_given(
-                apply_fn, params, sde, x0c, cc, vc, tc, ec, parameterization)
+                apply_fn, params, sde, x0c, cc, vc, tc, ec, parameterization,
+                min_snr_gamma)
 
         def body(carry, inp):
             g_sum, l_sum = carry
@@ -381,6 +383,7 @@ def make_sde_train_epoch(
     grad_accum: int = 1,
     nan_safe_metrics: bool = False,
     t_shift: float = 1.0,
+    min_snr_gamma: float = 0.0,
 ) -> Callable:
     """A whole SDE training epoch as one compiled program (new TPU-native
     scope — the reference runs one eager step per batch from a Python loop,
@@ -399,7 +402,7 @@ def make_sde_train_epoch(
     """
     step_fn = make_sde_train_step(model, tx, sde, n_types, p_uncond, t_power,
                                   ema_decay, parameterization, grad_accum,
-                                  t_shift)
+                                  t_shift, min_snr_gamma)
     get_batch = _batch_source(lattice_cfg, dataset_seed, resident, mesh=mesh)
 
     def run_batch(state, idx, key):
