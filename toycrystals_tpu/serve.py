@@ -276,18 +276,29 @@ class ScoreModelService:
         if fn is None:
             import jax
 
-            sampler_fn, apply_fn, sde = self._sampler_fn, self._apply_fn, self.sde
-            shape = (bucket, self.img_size, self.img_size, 1)
-            kw = dict(n_steps=self.steps, guidance_scale=self.guidance_scale,
-                      t_end=self.t_end, n_types=self.n_types,
-                      clip_x0=self.clip_x0, **self._extra_kw)
-
-            def run(params, yc, yv, seed):
-                return sampler_fn(apply_fn, params, sde, yc, yv, shape,
-                                  jax.random.key(seed), **kw)
-
-            fn = self._exec_cache[bucket] = jax.jit(run)
+            fn = self._exec_cache[bucket] = jax.jit(self.sampler_callable(bucket))
         return fn
+
+    def sampler_callable(self, batch: int):
+        """The pure per-shape sampling function the service compiles:
+        ``run(params, y_cat[batch], y_cont[batch,D], seed[]) -> [batch,H,W,1]``
+        with the service's resolved sampler/steps/CFG/t_end baked in and the
+        PRNG key built *inside* (the seed rides with the dispatch — see
+        `_bucket_executable`). Also the export surface: `toycrystals_tpu.export`
+        serialises exactly this function (params baked) via jax.export."""
+        import jax
+
+        sampler_fn, apply_fn, sde = self._sampler_fn, self._apply_fn, self.sde
+        shape = (batch, self.img_size, self.img_size, 1)
+        kw = dict(n_steps=self.steps, guidance_scale=self.guidance_scale,
+                  t_end=self.t_end, n_types=self.n_types,
+                  clip_x0=self.clip_x0, **self._extra_kw)
+
+        def run(params, yc, yv, seed):
+            return sampler_fn(apply_fn, params, sde, yc, yv, shape,
+                              jax.random.key(seed), **kw)
+
+        return run
 
     def sample(self, y_cat, y_cont, *, seed: int = 0) -> np.ndarray:
         """Sample one image per condition row; returns (n, H, W, 1) in [0,1].
