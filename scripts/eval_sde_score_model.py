@@ -73,6 +73,10 @@ def main() -> int:
                    choices=["auto", "float32", "bfloat16"])
     p.add_argument("--attn-impl", default="auto",
                    choices=["auto", "xla", "flash"])
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8: dynamic-quantized convs (MXU 2x-rate path); "
+                        "eval quantified quality of the quantized serving "
+                        "path vs the float checkpoint")
 
     p.add_argument("--save-grid", default=None,
                    help="Also save the sampled grid png here (ckpt mode).")
@@ -105,7 +109,7 @@ def main() -> int:
             args.ckpt, use_ema=bool(args.use_ema), sampler=args.sampler,
             steps=args.steps, guidance_scale=args.cfg, t_end=args.t_end,
             clip_x0=bool(args.clip_x0), dtype=args.dtype,
-            attn_impl=args.attn_impl,
+            attn_impl=args.attn_impl, quantize=args.quantize,
         )
         y_cat, y_cont = sample_grid_conditions(
             args.n, svc.n_types, svc.y_cont_dim, args.theta_max)
@@ -128,6 +132,7 @@ def main() -> int:
         source = {"ckpt": args.ckpt, "sampler": svc.sampler_name,
                   "steps": svc.steps, "cfg": svc.guidance_scale,
                   "t_end": svc.t_end, "use_ema": bool(args.use_ema),
+                  "quantize": svc.quantize,
                   "seed": args.seed, "n": args.n}
 
     scalars = {k: v for k, v in res.items() if isinstance(v, float)}

@@ -66,6 +66,9 @@ def main() -> int:
                         "coherent 256x256 stretch samples — the raw "
                         "eps-parameterization's trajectories saturate there "
                         "(see benchmarks/NOTES.md).")
+    p.add_argument("--quantize", type=str, default="none", choices=["none", "int8"],
+                   help="int8: dynamic-quantized convs on the MXU's 2x-rate "
+                        "int8 path (post-training; any float ckpt)")
     p.add_argument("--attn-impl", type=str, default="auto",
                    choices=["auto", "xla", "flash"],
                    help="Attention backend (same checkpoint weights work "
@@ -143,6 +146,7 @@ def main() -> int:
         base_ch=int(cfg["base_ch"]), emb_dim=int(cfg["emb_dim"]),
         cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+        conv_impl="int8" if args.quantize == "int8" else "pad",
         attn_impl=args.attn_impl,
     )
     state = payload["state"]

@@ -203,6 +203,9 @@ def main(argv=None) -> int:
     p.add_argument("--clip-x0", action="store_true")
     p.add_argument("--dtype", default="auto", choices=["auto", "float32", "bfloat16"])
     p.add_argument("--attn-impl", default="auto", choices=["auto", "xla", "flash"])
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="int8: dynamic-quantized convs on the MXU's 2x-rate "
+                        "int8 path (post-training; any float ckpt serves)")
     p.add_argument("--no-ema", action="store_true", help="serve raw params")
     p.add_argument("--buckets", default="1,4,16,64",
                    help="compiled batch-shape ladder (comma-separated)")
@@ -223,7 +226,7 @@ def main(argv=None) -> int:
         args.ckpt, use_ema=not args.no_ema, sampler=args.sampler,
         steps=args.steps, guidance_scale=args.guidance_scale,
         t_end=args.t_end, clip_x0=args.clip_x0, dtype=args.dtype,
-        attn_impl=args.attn_impl,
+        attn_impl=args.attn_impl, quantize=args.quantize,
         buckets=[int(b) for b in args.buckets.split(",")], mesh=mesh)
     print(f"model: {service.describe()}")
     print(f"serving: sampler={service.sampler_name} steps={service.steps} "

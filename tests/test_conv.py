@@ -75,6 +75,46 @@ def test_unsupported_geometry_raises():
         )
 
 
+@pytest.mark.parametrize("k,s", [((3, 3), (1, 1)), ((4, 4), (2, 2))])
+def test_int8_close_to_float(k, s):
+    """Dynamic int8 quantization: same param tree (any float checkpoint loads),
+    bounded error vs the float path, and exact shift-equivariance preserved
+    (quantization is pointwise, the conv is still circular)."""
+    x = jax.random.normal(jax.random.key(8), (2, 16, 16, 24))
+    m_f = CircularConv(32, k, s, impl="pad")
+    m_q = CircularConv(32, k, s, impl="int8")
+    params = m_f.init(jax.random.key(9), x)
+    y_f = m_f.apply(params, x)
+    y_q = m_q.apply(params, x)
+    assert y_q.shape == y_f.shape
+    rel = float(jnp.linalg.norm(y_f - y_q) / jnp.linalg.norm(y_f))
+    assert rel < 0.03, rel
+    # equivariance survives quantization (per-tensor scale is roll-invariant);
+    # a strided conv only commutes with stride-multiple rolls, so roll by s.
+    y_r = m_q.apply(params, jnp.roll(x, (3 * s[0], -2 * s[1]), axis=(1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(jnp.roll(y_q, (3, -2), axis=(1, 2))), np.asarray(y_r), atol=1e-5
+    )
+
+
+def test_unet_int8_close_to_float():
+    """Whole-U-Net int8 path loads float params unchanged and stays within a
+    few percent of the float forward — the serving-path contract behind
+    --quantize int8."""
+    kw = dict(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    x = jax.random.normal(jax.random.key(10), (2, 16, 16, 1))
+    t = jnp.array([0.3, 0.7])
+    y_cat = jnp.array([0, 2], jnp.int32)
+    y_cont = jnp.zeros((2, 4))
+    m_f = CondUNetTiny(**kw)
+    m_q = CondUNetTiny(conv_impl="int8", **kw)
+    v = m_f.init(jax.random.key(11), x, t, y_cat, y_cont)
+    y_f = m_f.apply(v, x, t, y_cat, y_cont)
+    y_q = m_q.apply(v, x, t, y_cat, y_cont)
+    rel = float(jnp.linalg.norm(y_f - y_q) / jnp.linalg.norm(y_f))
+    assert rel < 0.15, rel
+
+
 def test_unet_conv_impls_agree():
     """The whole U-Net forward must be identical under either conv impl, and
     the param trees interchangeable (checkpoint compatibility)."""

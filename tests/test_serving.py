@@ -94,6 +94,23 @@ def test_sample_pads_trims_and_is_deterministic(ckpts):
     assert svc.stats["dispatches"] - before == 2
 
 
+def test_quantized_serving(ckpts):
+    """quantize="int8" serves any float checkpoint: same param tree, valid
+    samples, close to the float path at few steps, and reported in stats."""
+    plain, _ = ckpts
+    svc_f = ScoreModelService(plain, steps=2, buckets=(2,))
+    svc_q = ScoreModelService(plain, steps=2, buckets=(2,), quantize="int8")
+    assert svc_q.stats["quantize"] == "int8"
+    xf = svc_f.sample_conditions([0, 1], thetas=[0.0, 0.2], seed=3)
+    xq = svc_q.sample_conditions([0, 1], thetas=[0.0, 0.2], seed=3)
+    assert xq.shape == xf.shape
+    assert 0.0 <= xq.min() and xq.max() <= 1.0
+    # few-step trajectories stay close under ~1% per-conv quantization noise
+    assert float(np.abs(xf - xq).mean()) < 0.1
+    with pytest.raises(ValueError):
+        ScoreModelService(plain, quantize="int4")
+
+
 def test_bucket_ladder_mesh_rounding(ckpts):
     plain, _ = ckpts
     from toycrystals_tpu.parallel import make_mesh

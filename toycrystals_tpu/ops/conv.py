@@ -29,6 +29,15 @@ updates per U-Net forward cost far more in kernel launches and layout work
 than the ~10 padded-copy materialisations they avoid. `impl="pad"` (the
 materialised wrap-pad + VALID conv) is therefore the default; "border" stays
 as a tested, numerically-exact alternative and a record of the experiment.
+
+`impl="int8"` is the quantized inference path: v5e's int8 MXU runs these
+conv shapes at ~2.2× the bf16 rate (measured 235 vs 108 TFLOP-eq/s at the
+flagship geometry), and the sampler spends 72% of its time in conv fusions
+(benchmarks/NOTES.md op-level profile). Weights quantize per-output-channel
+and activations per-tensor with DYNAMIC scales computed in the pass itself —
+no calibration step, no param-tree surgery, any float checkpoint serves
+quantized with `--quantize int8` (serving/eval/export). Training always runs
+float; this is post-training quantization for the serving path.
 """
 
 from __future__ import annotations
@@ -62,7 +71,9 @@ class CircularConv(nn.Module):
     kernel_size: tuple[int, int] = (3, 3)
     strides: tuple[int, int] = (1, 1)
     dtype: jnp.dtype = jnp.float32
-    impl: str = "pad"  # "pad" (materialised wrap-pad) | "border" (no copy; measured slower)
+    # "pad" (materialised wrap-pad) | "border" (no copy; measured slower) |
+    # "int8" (dynamic-quantized int8 MXU conv — inference only)
+    impl: str = "pad"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -78,6 +89,26 @@ class CircularConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (kh, kw, cin, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+
+        if self.impl == "int8":
+            # Dynamic symmetric quantization: per-tensor activation scale,
+            # per-output-channel weight scale (both f32), int8 conv on the
+            # MXU's 2x-rate path, dequantize into the bias add. The
+            # round/clip/cast fuses into the wrap-pad pass; the only extra
+            # full pass is the |x| max-reduce.
+            sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+            sw_c = jnp.maximum(
+                jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                          -127, 127).astype(jnp.int8)
+            wq = jnp.clip(jnp.round(kernel / sw_c), -127, 127).astype(jnp.int8)
+            xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="wrap")
+            y = lax.conv_general_dilated(
+                xp, wq, window_strides=(sh, sw), padding="VALID",
+                dimension_numbers=_DIMS, preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (sx * sw_c) + bias
+            return y.astype(self.dtype)
+
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
 

@@ -75,6 +75,7 @@ class ScoreModelService:
         clip_x0: bool = False,
         dtype: str = "auto",
         attn_impl: str = "auto",
+        quantize: str = "none",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         mesh=None,
     ):
@@ -139,11 +140,15 @@ class ScoreModelService:
         self.clip_x0 = bool(clip_x0)
 
         dtype_name = str(cfg.get("dtype", "float32")) if dtype == "auto" else dtype
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"quantize must be 'none' or 'int8', got {quantize!r}")
+        self.quantize = str(quantize)
         self.model = CondUNetTiny(
             n_types=int(cfg["n_types"]), y_cont_dim=int(cfg["y_cont_dim"]),
             base_ch=int(cfg["base_ch"]), emb_dim=int(cfg["emb_dim"]),
             cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
             dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
+            conv_impl="int8" if quantize == "int8" else "pad",
             attn_impl=attn_impl,
         )
         self.sde = VPSDE(
@@ -214,7 +219,7 @@ class ScoreModelService:
                  steps=self.steps, guidance_scale=self.guidance_scale,
                  t_end=self.t_end, img_size=self.img_size,
                  distilled=bool(self.config.get("distilled")),
-                 ckpt=self.ckpt_path)
+                 quantize=self.quantize, ckpt=self.ckpt_path)
         return s
 
     def describe(self) -> dict[str, Any]:
