@@ -78,6 +78,17 @@ def main() -> int:
                         "eval quantified quality of the quantized serving "
                         "path vs the float checkpoint")
 
+    p.add_argument("--fid-vae", default=None,
+                   help="Unconditional-VAE feature-extractor checkpoint "
+                        "(scripts/train_vae.py --uncond; the committed "
+                        "assets/eval/feature_vae_z16.msgpack). Adds latent-"
+                        "FID: the Fréchet distance between the samples and "
+                        "a deterministic procedural real draw in the VAE's "
+                        "z-space (utils/fid.py) — the diversity axis the "
+                        "FFT metric cannot see. Reported with its same-N "
+                        "real-vs-real noise floor.")
+    p.add_argument("--fid-ref-n", type=int, default=4096,
+                   help="Real-draw size for the FID reference stats.")
     p.add_argument("--save-grid", default=None,
                    help="Also save the sampled grid png here (ckpt mode).")
     p.add_argument("--json-out", default=None,
@@ -99,6 +110,11 @@ def main() -> int:
         res = score_grid_png(args.grid, nrows=args.grid_rows,
                              ncols=args.grid_cols, theta_max=args.theta_max)
         source = {"grid": args.grid}
+        if args.fid_vae:
+            from toycrystals_tpu.utils.fidelity import extract_grid_tiles
+
+            fid_images = extract_grid_tiles(
+                args.grid, args.grid_rows, args.grid_cols, 64)[..., None]
     else:
         if not os.path.exists(args.ckpt):
             raise FileNotFoundError(args.ckpt)
@@ -134,8 +150,29 @@ def main() -> int:
                   "t_end": svc.t_end, "use_ema": bool(args.use_ema),
                   "quantize": svc.quantize,
                   "seed": args.seed, "n": args.n}
+        if args.fid_vae:
+            fid_images = np.asarray(x)
 
     scalars = {k: v for k, v in res.items() if isinstance(v, float)}
+    if args.fid_vae:
+        from toycrystals_tpu.data.lattice import LatticeConfig
+        from toycrystals_tpu.utils.fid import (
+            compute_fid,
+            fid_floor,
+            load_feature_extractor,
+            reference_stats,
+        )
+
+        fmodel, fparams, fcfg = load_feature_extractor(args.fid_vae)
+        lat_cfg = LatticeConfig(img_size=int(fcfg.get("img_size", 64)),
+                                rot_only=True)
+        ref = reference_stats(fmodel, fparams, cfg=lat_cfg, n=args.fid_ref_n)
+        scalars["fid"] = compute_fid(fid_images, fmodel, fparams,
+                                     ref_stats=ref)
+        scalars["fid_floor"] = fid_floor(
+            fmodel, fparams, int(fid_images.shape[0]), ref, cfg=lat_cfg)
+        source["fid_vae"] = args.fid_vae
+        source["fid_ref_n"] = args.fid_ref_n
     print("lattice-fidelity metrics (utils/fidelity.py):")
     print(f"  cond_fidelity     {scalars['cond_fidelity']:.3f}   "
           "(conditioned spectral correlation, 1 = template-perfect)")
@@ -144,6 +181,10 @@ def main() -> int:
           "(square/rect merged: aspect~1 rects are genuinely square)")
     print(f"  theta_mae_deg     {scalars['theta_mae_deg']:.2f}   "
           "(symmetry-aware rotation recovery error)")
+    if "fid" in scalars:
+        print(f"  fid               {scalars['fid']:.3f}   "
+              f"(latent-FID, utils/fid.py; same-N real-vs-real floor "
+              f"{scalars['fid_floor']:.3f})")
     print(json.dumps({**source, **scalars}))
 
     if args.json_out:
