@@ -384,6 +384,35 @@ def main() -> int:
                 "theta_mae_deg": round(r["theta_mae_deg"], 2),
                 "cond_fidelity": round(r["cond_fidelity"], 3),
             }
+
+        # Latent-FID (utils/fid.py) on the same committed 64x64 grids: the
+        # diversity axis the per-sample FFT scores are blind to. Uses the
+        # committed unconditional-VAE feature extractor so the numbers are
+        # reproducible across machines; every score is read against the
+        # same-N real-vs-real noise floor (36-tile grids are a small sample).
+        fvae = REPO / "assets/eval/feature_vae_z16.msgpack"
+        if fvae.exists():
+            from toycrystals_tpu.utils.fid import (
+                compute_fid,
+                fid_floor,
+                load_feature_extractor,
+                reference_stats,
+            )
+            from toycrystals_tpu.utils.fidelity import extract_grid_tiles
+
+            fmodel, fparams, _fcfg = load_feature_extractor(fvae)
+            ref_st = reference_stats(fmodel, fparams)
+            floors: dict[int, float] = {}
+            for name, (path, size) in grids.items():
+                if size != 64 or name not in fid:
+                    continue
+                tiles = extract_grid_tiles(path, out_size=64)
+                n = int(tiles.shape[0])
+                if n not in floors:
+                    floors[n] = round(fid_floor(fmodel, fparams, n, ref_st), 2)
+                fid[name]["latent_fid"] = round(
+                    compute_fid(tiles, fmodel, fparams, ref_stats=ref_st), 2)
+                fid[name]["latent_fid_floor"] = floors[n]
         results["fidelity"] = fid
 
     # --- stretch configs (BASELINE.md): 256x256 lattices + hi-res sampling ---
