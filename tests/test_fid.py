@@ -163,6 +163,37 @@ def test_load_feature_extractor_roundtrip(tmp_path, tiny_extractor):
     assert cfg["z_dim"] == 8
 
 
+def test_committed_extractor_is_healthy():
+    """The SHIPPED extractor asset must discriminate — this is the test that
+    was missing when round 2 committed a posterior-collapsed checkpoint whose
+    FID scored everything (including shuffled-pixel garbage) 0.0. Loads the
+    actual committed artifact, not a fixture.
+    """
+    from pathlib import Path
+
+    from toycrystals_tpu.utils.fid import load_feature_extractor
+
+    asset = Path(__file__).resolve().parent.parent / "assets/eval/feature_vae_z16.msgpack"
+    if not asset.exists():
+        pytest.skip("committed extractor asset absent")
+    # load_feature_extractor itself probes for collapse (check=True default);
+    # assert the guard's property directly too, with independent draws.
+    model, params, cfg = load_feature_extractor(asset)
+    x, _, _ = generate_batch(
+        LatticeConfig(img_size=int(cfg["img_size"]), rot_only=True),
+        31337, jnp.arange(128),
+    )
+    f = encode_features(model, params, x)
+    assert float(np.std(f, axis=0).mean()) > 0.05, "features barely vary"
+
+    ref = reference_stats(model, params, n=512, seed=2024, batch_size=128)
+    floor = fid_floor(model, params, 36, ref)
+    noise = jnp.asarray(RNG.uniform(size=(36, 64, 64, 1)), jnp.float32)
+    fid_noise = compute_fid(noise, model, params, ref_stats=ref)
+    assert floor > 0.0, "real-vs-real floor at n=36 must be nonzero"
+    assert fid_noise > 5.0 * floor, (floor, fid_noise)
+
+
 def test_eval_cli_grid_fid(tmp_path):
     """End-to-end: eval CLI scores a committed-convention grid png with
     --fid-vae; a real-lattice grid must land near the FID floor."""

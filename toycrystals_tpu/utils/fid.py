@@ -32,6 +32,7 @@ computed with symmetric-eigendecomposition PSD square roots in float64
 
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -86,13 +87,20 @@ def frechet_distance(
     return max(fid, 0.0)
 
 
-def load_feature_extractor(path: str | Path):
+def load_feature_extractor(path: str | Path, check: bool = True):
     """Load an UNCONDITIONAL VAE checkpoint as (model, params, config).
 
     Expects the `scripts/train_vae.py --uncond` checkpoint layout
     (`{"params": ..., "config": {...}}`); rejects conditional checkpoints —
     conditioning leaking into the features would hide conditioning errors
     from the metric.
+
+    With `check=True` (default) the loaded encoder is probed for posterior
+    collapse: a small deterministic procedural draw must produce features
+    whose per-dim std is materially non-zero. A collapsed encoder maps every
+    input to the same mean, so FID(anything, anything) = 0 and the metric is
+    a dead instrument — better to refuse to load than to publish perfect
+    scores from it.
     """
     from toycrystals_tpu.models import VAE
     from toycrystals_tpu.utils.checkpoint import load_checkpoint
@@ -105,8 +113,9 @@ def load_feature_extractor(path: str | Path):
             "(train one with scripts/train_vae.py --uncond); this checkpoint "
             "is conditional."
         )
+    img_size = int(cfg.get("img_size", 64))
     model = VAE(z_dim=int(cfg.get("z_dim", 16)))
-    x0 = jnp.zeros((1, int(cfg.get("img_size", 64)), int(cfg.get("img_size", 64)), 1))
+    x0 = jnp.zeros((1, img_size, img_size, 1))
     target = model.init(
         {"params": jax.random.key(0), "reparam": jax.random.key(0)}, x0
     )["params"]
@@ -115,7 +124,25 @@ def load_feature_extractor(path: str | Path):
         target,
         jax.tree.map(jnp.asarray, raw["params"]),
     )
+    if check:
+        probe_cfg = LatticeConfig(img_size=img_size, rot_only=True)
+        probe, _, _ = generate_batch(probe_cfg, 7, jnp.arange(16))
+        f = encode_features(model, params, probe, batch_size=16)
+        if float(np.std(f, axis=0).mean()) < 1e-3:
+            raise ValueError(
+                f"{path}: feature extractor is posterior-collapsed — encoder "
+                "means are (near-)constant across a 16-image probe batch, so "
+                "every FID would score ~0. Retrain the unconditional VAE "
+                "until encoder features vary with the input (check per-dim "
+                "mu std during training)."
+            )
     return model, params, cfg
+
+
+@partial(jax.jit, static_argnums=0)
+def _encode_mu(model_static, params, x):
+    mu, _ = model_static.apply({"params": params}, x, method="encode")
+    return mu
 
 
 def encode_features(
@@ -124,20 +151,18 @@ def encode_features(
     """[N, H, W, 1] images in [0, 1] -> encoder-mean features [N, z_dim].
 
     Deterministic (encoder mean, no reparameterisation noise). Batched to
-    keep single dispatches small on the tunneled chip.
+    keep single dispatches small on the tunneled chip. The jitted encoder is
+    module-level (static model as a hashable aux arg) so repeated calls —
+    e.g. `reference_stats`' per-512-batch loop — hit the jit cache instead of
+    retracing a fresh closure each call.
     """
     images = jnp.asarray(images, jnp.float32)
     if images.ndim == 3:
         images = images[..., None]
 
-    @jax.jit
-    def enc(x):
-        mu, _ = model.apply({"params": params}, x, method="encode")
-        return mu
-
     out = []
     for i in range(0, images.shape[0], batch_size):
-        out.append(np.asarray(enc(images[i : i + batch_size])))
+        out.append(np.asarray(_encode_mu(model, params, images[i : i + batch_size])))
     return np.concatenate(out, axis=0)
 
 
