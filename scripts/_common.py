@@ -219,14 +219,17 @@ class ResidentDiskDataset:
 
     `gather(idx)` returns a batch as (x f32 [B,H,W,1] in [0,1], y_cat, y_cont)
     entirely on device — the TPU-equivalent of the reference's DataLoader over
-    `ToyCrystalsDiskDataset` (`disk_data.py:27-31`).
+    `ToyCrystalsDiskDataset` (`disk_data.py:27-31`). Accepts our .npz or the
+    reference's .pt archive (`data/datasets.py:load_archive`).
     """
 
     def __init__(self, path: str | Path) -> None:
-        obj = np.load(Path(path))
-        self.x_u8 = jnp.asarray(obj["x_u8"])
-        self.y_cat = jnp.asarray(obj["y_cat"].astype(np.int32))
-        self.y_cont = jnp.asarray(obj["y_cont"].astype(np.float32))
+        from toycrystals_tpu.data.datasets import load_archive
+
+        x_u8, y_cat, y_cont = load_archive(path)
+        self.x_u8 = jnp.asarray(x_u8)
+        self.y_cat = jnp.asarray(y_cat)
+        self.y_cont = jnp.asarray(y_cont)
         self.n = int(self.x_u8.shape[0])
 
     def __len__(self) -> int:

@@ -132,3 +132,70 @@ def test_periodicity_visible(img_size):
     r = row - row.mean()
     ac = np.correlate(r, r, mode="full")[len(r) - 1 :]
     assert ac[10] > ac[5]
+
+
+def test_pt_archive_interop(tmp_path):
+    """The reference materialises datasets as `.pt` torch dicts
+    (`/root/reference/scripts/build_dataset.py:28-41`: x_u8 [N,1,H,W] u8
+    NCHW, y_cat i64, y_cont [N,4] f32). A migrating user's prebuilt archive
+    must load through every disk loader unmodified, identical to the .npz
+    path."""
+    import sys
+
+    import torch
+
+    from toycrystals_tpu.data import StreamingDiskDataset, ToyCrystalsDiskDataset
+    from toycrystals_tpu.data.datasets import load_archive
+
+    rng = np.random.default_rng(3)
+    x_nhwc = rng.integers(0, 256, size=(12, 16, 16, 1), dtype=np.uint8)
+    y_cat = rng.integers(0, 4, size=(12,))
+    y_cont = rng.normal(size=(12, 4)).astype(np.float32)
+
+    pt = tmp_path / "crystals.pt"
+    torch.save(
+        {
+            "x_u8": torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2))),
+            "y_cat": torch.from_numpy(y_cat.astype(np.int64)),
+            "y_cont": torch.from_numpy(y_cont),
+        },
+        pt,
+    )
+    npz = tmp_path / "crystals.npz"
+    np.savez(npz, x_u8=x_nhwc, y_cat=y_cat.astype(np.int32), y_cont=y_cont)
+
+    for path in (pt, npz):
+        xa, ca, va = load_archive(path)
+        np.testing.assert_array_equal(xa, x_nhwc)
+        np.testing.assert_array_equal(ca, y_cat.astype(np.int32))
+        np.testing.assert_array_equal(va, y_cont)
+        assert xa.dtype == np.uint8 and ca.dtype == np.int32 and va.dtype == np.float32
+
+    ds = ToyCrystalsDiskDataset(pt)
+    x0, c0, v0 = ds[5]
+    np.testing.assert_allclose(
+        np.asarray(x0), x_nhwc[5].astype(np.float32) / 255.0, atol=1e-6
+    )
+    assert int(c0) == int(y_cat[5])
+
+    sds = StreamingDiskDataset(pt)
+    bx, bc, bv = sds.host_batch(np.asarray([1, 3]))
+    np.testing.assert_array_equal(bx, x_nhwc[[1, 3]])
+
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        from _common import ResidentDiskDataset
+    finally:
+        sys.path.pop(0)
+    rds = ResidentDiskDataset(pt)
+    gx, gc, gv = rds.gather(jnp.asarray([0, 7]))
+    np.testing.assert_allclose(
+        np.asarray(gx), x_nhwc[[0, 7]].astype(np.float32) / 255.0, atol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="not a dataset archive"):
+        bad = tmp_path / "bad.pt"
+        torch.save({"weights": torch.zeros(3)}, bad)
+        load_archive(bad)

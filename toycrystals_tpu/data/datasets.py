@@ -99,22 +99,59 @@ class ToyCrystalsDataset:
         return x[0], y_cat[0], y_cont[0]
 
 
+def load_archive(path: str | Path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Load a dataset archive as (x_u8 [N,H,W,1] NHWC, y_cat i32, y_cont f32).
+
+    Accepts BOTH archive formats:
+    - our `.npz` written by `scripts/build_dataset.py` (NHWC u8), and
+    - the reference's `.pt` torch dict written by its build_dataset.py
+      (`/root/reference/scripts/build_dataset.py:28-41`:
+      `{x_u8 [N,1,H,W] u8, y_cat [N] i64, y_cont [N,4] f32}`, NCHW) — so a
+      migrating user's prebuilt archive trains here unmodified.
+
+    Format is sniffed from the file, not the extension (a `.pt` is a zip
+    with no `x_u8.npy` member; `np.load` only reads npz/npy).
+    """
+    p = Path(path)
+    try:
+        obj = np.load(p)
+        x_u8 = np.asarray(obj["x_u8"])
+        y_cat = np.asarray(obj["y_cat"])
+        y_cont = np.asarray(obj["y_cont"])
+    except Exception:
+        from toycrystals_tpu.utils.torch_interop import _torch_load
+
+        obj = _torch_load(str(p))
+        if not isinstance(obj, dict) or "x_u8" not in obj:
+            raise ValueError(
+                f"{p}: not a dataset archive (expected .npz with x_u8/y_cat/"
+                "y_cont or a reference torch dict with the same keys)"
+            ) from None
+        x_u8 = obj["x_u8"].numpy()
+        y_cat = obj["y_cat"].numpy()
+        y_cont = obj["y_cont"].numpy()
+    if x_u8.ndim == 4 and x_u8.shape[1] == 1 and x_u8.shape[-1] != 1:
+        x_u8 = np.transpose(x_u8, (0, 2, 3, 1))  # NCHW (reference) -> NHWC
+    elif x_u8.ndim == 3:
+        x_u8 = x_u8[..., None]
+    return (
+        np.ascontiguousarray(x_u8),
+        y_cat.astype(np.int32),
+        y_cont.astype(np.float32),
+    )
+
+
 class ToyCrystalsDiskDataset:
     """Loads a prebuilt archive written by scripts/build_dataset.py.
 
     Stored images are uint8 in [0, 255] (same space-saving contract as
     `disk_data.py:8-31`); returned images are float32 in [0, 1], NHWC.
-    The file is a .npz with keys x_u8 [N,H,W,1], y_cat [N], y_cont [N,4].
+    The file is a .npz with keys x_u8 [N,H,W,1], y_cat [N], y_cont [N,4] —
+    or the reference's `.pt` torch dict (see `load_archive`).
     """
 
     def __init__(self, path: str | Path) -> None:
-        obj = np.load(Path(path))
-        self.x_u8: np.ndarray = obj["x_u8"]
-        self.y_cat: np.ndarray = obj["y_cat"].astype(np.int32)
-        self.y_cont: np.ndarray = obj["y_cont"].astype(np.float32)
-        if self.x_u8.ndim == 4 and self.x_u8.shape[1] == 1 and self.x_u8.shape[-1] != 1:
-            # tolerate NCHW archives
-            self.x_u8 = np.transpose(self.x_u8, (0, 2, 3, 1))
+        self.x_u8, self.y_cat, self.y_cont = load_archive(path)
 
     def __len__(self) -> int:
         return int(self.x_u8.shape[0])

@@ -35,18 +35,16 @@ import numpy as np
 class StreamingDiskDataset:
     """Host-resident archive streamed to device batch by batch.
 
-    Same .npz contract as `ToyCrystalsDiskDataset` (x_u8 [N,H,W,1] u8,
-    y_cat [N], y_cont [N,4]); `host_batch(idx)` gathers on host and keeps
+    Same archive contract as `ToyCrystalsDiskDataset` (x_u8 [N,H,W,1] u8,
+    y_cat [N], y_cont [N,4]; .npz or the reference's .pt via
+    `datasets.load_archive`); `host_batch(idx)` gathers on host and keeps
     images uint8 — convert with `to_f01` after the batch is on device.
     """
 
     def __init__(self, path: str | Path) -> None:
-        obj = np.load(Path(path))
-        self.x_u8: np.ndarray = obj["x_u8"]
-        self.y_cat: np.ndarray = obj["y_cat"].astype(np.int32)
-        self.y_cont: np.ndarray = obj["y_cont"].astype(np.float32)
-        if self.x_u8.ndim == 4 and self.x_u8.shape[1] == 1 and self.x_u8.shape[-1] != 1:
-            self.x_u8 = np.transpose(self.x_u8, (0, 2, 3, 1))  # tolerate NCHW
+        from toycrystals_tpu.data.datasets import load_archive
+
+        self.x_u8, self.y_cat, self.y_cont = load_archive(path)
 
     def __len__(self) -> int:
         return int(self.x_u8.shape[0])
