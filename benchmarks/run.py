@@ -367,6 +367,21 @@ def main() -> int:
             p_rf = REPO / f"assets/score_based_diffusion/fm64_rf{steps}_samples.png"
             if p_rf.exists():
                 grids[f"ours_fm_rf{steps}"] = (p_rf, 64)
+        # pipeline-A (VAE) sample grids, ours AND the reference's committed
+        # pngs — the reference's only quality story for these was eyeballing
+        # (`/root/reference/README.md:21-47`); the scorer handles any 6x6
+        # type/theta grid, so pipeline-A parity is a number like pipeline B's.
+        for nm, sub in (
+            ("vae_prior", "vae_standard_prior/vae_standard_prior_sampling.png"),
+            ("vae_mop", "vae_standard_prior/vae_mop_sampling.png"),
+            ("vae_ldm_prior",
+             "vae_latent_diffusion_prior/vae_latent_diffusion_prior_sampling.png"),
+        ):
+            for side, root in (("ours", REPO / "assets"),
+                               ("reference", Path("/root/reference/assets"))):
+                p_vae = root / sub
+                if p_vae.exists():
+                    grids[f"{side}_{nm}"] = (p_vae, 64)
         # higher-step DPM at 256 (does more solver steps close the gap?)
         for steps in (100,):
             p_dpm = (REPO / "assets/score_based_diffusion_256/"
