@@ -146,7 +146,7 @@ def main() -> int:
     p.add_argument("--lr-schedule", type=str, default="constant",
                    choices=["constant", "cosine"],
                    help="LR schedule (new scope; the reference is constant): "
-                        "cosine = warmup to --lr then cosine decay to 1% "
+                        "cosine = warmup to --lr then cosine decay to 1%% "
                         "over the run, stepped per optimizer update and "
                         "resume-exact (the schedule reads the opt_state "
                         "count).")

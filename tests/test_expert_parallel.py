@@ -165,3 +165,46 @@ def test_cli_moe_expert_parallel(tmp_path, monkeypatch):
         "--width", 32, "--z-dim", 8, "--T", 8, "--moe-experts", 4,
         "--latent-cache", "data/latents.npz", "--ddim-steps", 2,
         "--sample-only")
+
+
+def test_route_stats_cli(tmp_path, monkeypatch):
+    """moe_route_stats.py reports per-block routing fractions from a trained
+    MoE checkpoint (the utilisation evidence for the dense-vs-MoE ablation in
+    benchmarks/NOTES.md); fractions must sum to 1 per block and entropy is
+    normalised to [0, 1]."""
+    import json
+    import runpy
+    import sys
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from toycrystals_tpu.models import DiffusionPriorMoE
+    from toycrystals_tpu.utils import save_checkpoint
+
+    prior = DiffusionPriorMoE(z_dim=8, n_types=4, y_cont_dim=4, n_experts=4,
+                              t_emb_dim=16, width=32, n_blocks=2)
+    params = prior.init(jax.random.key(0), jnp.zeros((2, 8)),
+                        jnp.zeros((2,), jnp.int32), jnp.zeros((2,), jnp.int32),
+                        jnp.zeros((2, 4)))["params"]
+    ckpt = tmp_path / "moe.msgpack"
+    save_checkpoint(ckpt, {"params": params, "config": {
+        "z_dim": 8, "n_types": 4, "y_cont_dim": 4, "t_emb_dim": 16,
+        "width": 32, "n_blocks": 2, "y_cat_emb_dim": 64, "T": 50,
+        "beta_start": 1e-4, "beta_end": 0.05, "n_experts": 4}})
+
+    scripts = str(Path(__file__).resolve().parent.parent / "scripts")
+    out = tmp_path / "routes.json"
+    monkeypatch.setattr(sys, "argv", [
+        "moe_route_stats.py", "--ckpt", str(ckpt), "--device", "cpu",
+        "--t-points", "8", "--json-out", str(out)])
+    try:
+        runpy.run_path(f"{scripts}/moe_route_stats.py", run_name="__main__")
+    except SystemExit as e:
+        assert (e.code or 0) == 0
+    r = json.loads(out.read_text())
+    assert r["n_experts"] == 4 and len(r["blocks"]) == 2
+    for b in r["blocks"].values():
+        assert abs(sum(b["fractions"]) - 1.0) < 1e-3
+        assert 0.0 <= b["entropy_norm"] <= 1.0
+        assert max(b["fractions"]) == b["max_share"]

@@ -70,6 +70,10 @@ class MoEFiLMResBlock(nn.Module):
         f_e = jnp.mean(onehot, axis=0)
         p_e = jnp.mean(probs, axis=0)
         self.sow("losses", "moe_aux", e * jnp.sum(f_e * p_e))
+        # routing fractions per expert, for utilisation diagnostics
+        # (scripts/eval: apply with mutable=["intermediates"]); free unless
+        # the collection is requested
+        self.sow("intermediates", "route_fraction", f_e)
 
         # stacked expert weights: leading E axis is the expert-parallel
         # sharding handle (parallel/expert.py shards it over 'expert')
