@@ -20,6 +20,7 @@ def _state():
     return create_train_state(params, optax.adam(1e-4), ema=True)
 
 
+@pytest.mark.slow
 def test_roundtrip_train_state(tmp_path):
     state = _state()
     ckpt = {

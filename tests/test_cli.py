@@ -12,6 +12,9 @@ from pathlib import Path
 
 import pytest
 
+# every test here drives a CLI end-to-end in a subprocess
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 SCRIPTS = REPO / "scripts"
 

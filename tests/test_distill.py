@@ -223,6 +223,7 @@ def test_distill_step_updates_and_donates():
     assert state2.ema_params is not None
 
 
+@pytest.mark.slow
 def test_distill_epoch_fused_and_sharded_matches_single():
     """Fused distillation epoch under the 8-device data mesh == single-device
     numerics (same keys, same procedural batches)."""

@@ -7,6 +7,7 @@ sharded numerics match single-device through the train step and the compiled
 DDIM scan, and the trainer CLI runs end-to-end.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -129,6 +130,7 @@ def test_ep_ddim_matches_single_device():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_moe_expert_parallel(tmp_path, monkeypatch):
     """--moe-experts 4 --shard 2 --shard-expert 4 end-to-end: trains,
     checkpoints (config records n_experts), resumes sample-only."""

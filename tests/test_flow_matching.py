@@ -289,6 +289,7 @@ def test_rf_sharded_sampling():
     assert np.isfinite(np.asarray(x)).all()
 
 
+@pytest.mark.slow
 def test_fm_full_loss_path():
     """diffusion_loss_eps end-to-end with the fm parameterization (random
     half + deterministic half together) is finite and differentiable."""

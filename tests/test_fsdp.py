@@ -8,6 +8,7 @@ changes semantics. Covers the largest-divisible-dim rule, the tp composition
 trainer CLIs end-to-end.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -169,6 +170,7 @@ def test_fsdp_tp_train_step_matches_single_device():
     np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_fsdp(tmp_path, monkeypatch):
     """--shard 8 --fsdp end-to-end on the virtual mesh: the SDE and VAE
     trainers run, checkpoint, and the saved checkpoint is layout-free

@@ -46,6 +46,7 @@ def test_stack_roundtrip():
         stack_pipeline_params(params, 3)  # 8 blocks don't split 3 ways
 
 
+@pytest.mark.slow
 def test_pipeline_forward_matches_model():
     model, params, (z, t, ycat, ycont) = _prior()
     ref = model.apply({"params": params}, z, t, ycat, ycont)
@@ -59,6 +60,7 @@ def test_pipeline_forward_matches_model():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_grads_match_model():
     """Gradients flow back through the ppermute chain: d(loss)/d(params) of
     the pipelined forward == the single-device model's, leaf for leaf."""
@@ -125,6 +127,7 @@ def test_pipeline_train_step_matches_single_device():
         s1.params, p2)
 
 
+@pytest.mark.slow
 def test_cli_shard_pipe(tmp_path, monkeypatch):
     """--shard 2 --shard-pipe 4 end-to-end on the virtual mesh: trains,
     checkpoints in the flax layout, resumes, and samples — the checkpoint

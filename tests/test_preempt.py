@@ -47,6 +47,7 @@ def test_graceful_shutdown_latches_and_restores():
 
 
 @pytest.mark.parametrize("grace_s", [600])
+@pytest.mark.slow
 def test_sde_trainer_sigterm_checkpoints_and_resumes(tmp_path, grace_s):
     # many epochs + cadence OFF (--ckpt-every 0): the only way a checkpoint
     # can exist before epoch 400 is the preemption save

@@ -4,6 +4,7 @@ Validates the GSPMD data-parallel story from SURVEY.md §5: batch sharded over
 'data', params replicated, gradients all-reduced by XLA — same numerics as
 single-device."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,6 +142,7 @@ def test_fused_epoch_resident_sharded_matches_unsharded():
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cli_shard_flag(tmp_path, monkeypatch):
     """--shard 4 on the SDE trainer + sampler runs end-to-end on the virtual
     mesh (runpy in-process: subprocesses can't force a multi-device CPU
@@ -206,6 +208,7 @@ def test_sample_chunked_pads_canonical_grid_over_mesh():
     assert np.isfinite(x).all()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_self_provisions():
     """__graft_entry__.dryrun_multichip provisions its own virtual CPU mesh in
     a fresh process with no XLA_FLAGS — the exact driver invocation that

@@ -83,6 +83,7 @@ def test_prefetch_places_sharded_under_mesh(archive):
     assert shard_shapes == {(2, 8, 8, 1)}
 
 
+@pytest.mark.slow
 def test_cli_stream_matches_resident(archive, tmp_path):
     """--stream reproduces the resident path's losses bitwise (same seed,
     same shuffle order, same arithmetic — only the residency differs)."""

@@ -206,6 +206,7 @@ def test_tp_prior_train_step_matches_single_device():
     np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cli_shard_model(tmp_path, monkeypatch):
     """--shard 2 --shard-model 4 end-to-end on the virtual mesh (runpy
     in-process; subprocesses can't force a multi-device CPU backend)."""
