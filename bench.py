@@ -165,6 +165,37 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — context fields are best-effort
         print(f"cost analysis unavailable: {e}", file=sys.stderr)
 
+    # int8 dynamic-quantized conv path (--quantize int8 on the CLIs): same
+    # sampler, same weights, convs on the MXU's 2x-rate int8 path with
+    # dynamic scales computed in-pass (ops/conv.py). Reported as a context
+    # field next to the bf16 headline; quality of the quantized path is the
+    # scored int8 grid in assets/FIGURES.md / benchmarks/NOTES.md.
+    int8_field = {}
+    try:
+        unet_q = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
+                              emb_dim=128, dtype=dtype, conv_impl="int8")
+
+        def apply_q(prm, xt, t, yc, yv):
+            return unet_q.apply({"params": prm}, xt, t, yc, yv)
+
+        def run_q(key):
+            return checksum(sample_reverse_sde_euler_maruyama(
+                apply_q, params, sde, y_cat, y_cont, (b, 64, 64, 1), key,
+                n_steps=args.steps, guidance_scale=args.cfg,
+                t_end=args.t_end))
+
+        jax.device_get(run_q(jax.random.key(0)))  # compile + warmup
+        qts = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.device_get(run_q(jax.random.key(i + 1)))
+            qts.append(time.perf_counter() - t0)
+        int8_field["sde_int8_img_s"] = round(b / min(qts), 1)
+        print(f"int8 sampler: {b / min(qts):.1f} img/s (batch {b})",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — context fields are best-effort
+        print(f"int8-path context unavailable: {e}", file=sys.stderr)
+
     # Distilled serving path (scripts/distill_sde_score_model.py): N
     # single-pass DDIM evals per image, guidance baked in — the one lever
     # that moves throughput PAST the 602-eval speed of light by removing
@@ -209,6 +240,7 @@ def main() -> int:
         "speed_of_light_img_s": round(sol, 1) if sol else None,
         "mfu": round(mfu, 3) if mfu else None,
         "vs_sol": round(ips / sol, 3) if sol else None,
+        **int8_field,
         **distilled,
         "note": "5000 img/s target is ~100x above single-chip speed of light "
                 "at 602 U-Net evals/sample; the distilled_*step fields are "

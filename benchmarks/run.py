@@ -132,6 +132,22 @@ def main() -> int:
             n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key, repeats=2)
         results["sde_sampling"] = {"images_per_sec": round(b / dt, 2),
                                    "batch": b, "steps": args.steps, "cfg": 1.5}
+        # same sampler on the int8 dynamic-quantized conv path (--quantize
+        # int8 on the CLIs): the one single-chip lever the op-level profile
+        # leaves open (convs = 72.4% of step time; int8 MXU ~2.2x bf16 micro
+        # rate, ops/conv.py). Identical weights, dynamic scales in-pass.
+        unet_q = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96,
+                              emb_dim=128, dtype=jnp.bfloat16,
+                              conv_impl="int8")
+        uapply_q = lambda prm, xt, t, yc, yv: unet_q.apply(
+            {"params": prm}, xt, t, yc, yv)
+        dt = timeit(lambda k: sample_reverse_sde_euler_maruyama(
+            uapply_q, uparams, sde, y_cat, y_cont, (b, 64, 64, 1), k,
+            n_steps=args.steps, guidance_scale=1.5, t_end=0.005), key,
+            repeats=2)
+        results["sde_sampling_int8"] = {"images_per_sec": round(b / dt, 2),
+                                        "batch": b, "steps": args.steps,
+                                        "cfg": 1.5, "quantize": "int8"}
 
     if want("ode"):
         dt = timeit(lambda k: sample_probability_flow_ode(

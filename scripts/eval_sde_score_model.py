@@ -69,6 +69,11 @@ def main() -> int:
                    help="Grid-png mode: tile rows in the figure (default 6).")
     p.add_argument("--grid-cols", type=int, default=6,
                    help="Grid-png mode: tile cols in the figure (default 6).")
+    p.add_argument("--grid-size", type=int, default=64,
+                   help="Grid-png mode: tile resolution to score at (the "
+                        "sampled image size; 256 for the stretch grids — "
+                        "scoring 256px tiles at 64 aliases the fine lattice "
+                        "away and reads as noise).")
     p.add_argument("--dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"])
     p.add_argument("--attn-impl", default="auto",
@@ -108,7 +113,8 @@ def main() -> int:
         if not os.path.exists(args.grid):
             raise FileNotFoundError(args.grid)
         res = score_grid_png(args.grid, nrows=args.grid_rows,
-                             ncols=args.grid_cols, theta_max=args.theta_max)
+                             ncols=args.grid_cols, theta_max=args.theta_max,
+                             out_size=args.grid_size)
         source = {"grid": args.grid}
         if args.fid_vae:
             from toycrystals_tpu.utils.fidelity import extract_grid_tiles

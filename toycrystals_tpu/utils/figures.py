@@ -41,14 +41,26 @@ def save_image_grid(
     suptitle: str | None = None,
     figsize: tuple[float, float] | None = None,
     title_fontsize: int = 7,
+    dpi: int | None = None,
 ) -> None:
-    """6x6-style grid, grayscale, vmin=0 vmax=1, dpi=200.
+    """6x6-style grid, grayscale, vmin=0 vmax=1.
+
+    dpi defaults to the reference's 200 (`train_vae.py:101` etc.) — enough
+    for 64px tiles (~180px each on the figure). For larger tiles it scales
+    so each stored tile keeps >= its native resolution: at dpi 200 a 256px
+    tile is downsampled to ~180px in the png, which measurably depresses
+    the fidelity scores of committed 256 grids (real 256 data: 0.867
+    in-memory -> 0.837 through a dpi-200 png; benchmarks/NOTES.md).
 
     `out_path` may be a filesystem path or a binary file-like object
     (PNG bytes; used by the serving front-end, toycrystals_tpu/serve.py)."""
     if not hasattr(out_path, "write"):
         out_path = _ensure_dir(out_path)
     images = np.asarray(images)
+    if dpi is None:
+        tile_px = int(_to_hw(images[0]).shape[0]) if len(images) else 64
+        # each tile occupies ~0.9 inch of the default 1-inch-per-tile figure
+        dpi = max(200, int(tile_px / 0.88))
     fig, axes = plt.subplots(nrows, ncols, figsize=figsize or (ncols, nrows))
     if suptitle:
         fig.suptitle(suptitle, fontsize=10)
@@ -59,7 +71,7 @@ def save_image_grid(
                 ax.set_title(titles[i], fontsize=title_fontsize)
         ax.axis("off")
     fig.tight_layout()
-    fig.savefig(out_path, dpi=200)
+    fig.savefig(out_path, dpi=dpi)
     plt.close(fig)
 
 
