@@ -398,6 +398,17 @@ def main() -> int:
                 p_vae = root / sub
                 if p_vae.exists():
                     grids[f"{side}_{nm}"] = (p_vae, 64)
+        # fm-shift flow matching at 256 (the high-res few-step recipe)
+        for steps in (50, 4):
+            p_fm = (REPO / "assets/score_based_diffusion_256/"
+                    f"fm256_rf{steps}_samples.png")
+            if p_fm.exists():
+                grids[f"ours_256_fm_rf{steps}"] = (p_fm, 256)
+        # base_ch=128 v-param at 256 (the capacity/MXU-alignment lever)
+        p_bc = (REPO / "assets/score_based_diffusion_256/"
+                "samples_256_bc128_vparam_sde300_cfg1.5_ema.png")
+        if p_bc.exists():
+            grids["ours_256_bc128_vparam_sde300"] = (p_bc, 256)
         # higher-step DPM at 256 (does more solver steps close the gap?)
         for steps in (100,):
             p_dpm = (REPO / "assets/score_based_diffusion_256/"
