@@ -50,6 +50,13 @@ def main() -> int:
                         "Euler, the (auto-selected) sampler for --param fm "
                         "checkpoints (models/flow_matching.py; try --steps "
                         "20-50).")
+    p.add_argument("--rf-solver", type=str, default="euler",
+                   choices=["euler", "heun"],
+                   help="--sampler rf integrator: euler (1 eval/step) or "
+                        "heun (trapezoidal, 2 evals/step — compare N heun "
+                        "steps against 2N euler steps; worthwhile only at "
+                        "very low step counts where Euler's truncation "
+                        "error on the not-quite-straight path bites).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--chunk", type=int, default=None,
                    help="Max images per compiled dispatch. Large batches are "
@@ -177,6 +184,8 @@ def main() -> int:
         # sample on the shifted grid the model was trained for (--fm-shift)
         if float(cfg.get("fm_shift", 1.0)) != 1.0:
             extra_kw["t_shift"] = float(cfg["fm_shift"])
+        if args.rf_solver != "euler":
+            extra_kw["solver"] = args.rf_solver
     elif args.sampler == "rf":
         raise SystemExit(
             "--sampler rf integrates a rectified-flow velocity field; this "

@@ -308,6 +308,15 @@ def test_12_flow_matching_train_and_sample(workdir):
     )
     assert "defaulting to rf" in r.stdout
 
+    # 2nd-order rf integrator (--rf-solver heun, 2 evals/step) drives the
+    # same path end-to-end
+    run(
+        "sample_sde_score_model.py", "--out-dir", "runs/fm", "--ckpt", "last",
+        "--steps", "2", "--cfg", "1.5", "--n", "4", "--rf-solver", "heun",
+        "--out-path", "runs/fm/results/heun.png", cwd=workdir,
+    )
+    assert (workdir / "runs/fm/results/heun.png").exists()
+
     # explicit VP sampler on an fm checkpoint must fail loudly
     import subprocess
     bad = subprocess.run(

@@ -31,9 +31,11 @@ materialised wrap-pad + VALID conv) is therefore the default; "border" stays
 as a tested, numerically-exact alternative and a record of the experiment.
 
 `impl="int8"` is the quantized inference path: v5e's int8 MXU runs these
-conv shapes at ~2.2× the bf16 rate (measured 235 vs 108 TFLOP-eq/s at the
-flagship geometry), and the sampler spends 72% of its time in conv fusions
-(benchmarks/NOTES.md op-level profile). Weights quantize per-output-channel
+conv shapes at ~2.2× the bf16 rate at the op level, which buys a measured
+1.21× end-to-end on the headline sampler (23.5 vs 19.4 img/s — the dynamic
+scale/cast work is HBM-bound and eats the Amdahl ideal; micro + e2e numbers
+and the honest analysis live in benchmarks/NOTES.md "int8 quantized
+sampling"). Weights quantize per-output-channel
 and activations per-tensor with DYNAMIC scales computed in the pass itself —
 no calibration step, no param-tree surgery, any float checkpoint serves
 quantized with `--quantize int8` (serving/eval/export). Training always runs
