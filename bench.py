@@ -228,6 +228,24 @@ def main() -> int:
             print(f"distilled {n_steps}-step: {db / min(dts):.1f} img/s "
                   f"(batch {db})", file=sys.stderr)
         distilled["distilled_batch"] = db
+
+        # int8 on the 1-step distilled path: at 1 eval/image the model IS
+        # the whole cost, so the conv-path speedup applies almost fully
+        def run_d1q(key):
+            return checksum(sample_ddim(
+                apply_q, params, sde, dy_cat, dy_cont, (db, 64, 64, 1),
+                key, n_steps=1, guidance_scale=0.0, t_end=args.t_end,
+                prediction="v"))
+
+        jax.device_get(run_d1q(jax.random.key(0)))
+        dts = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.device_get(run_d1q(jax.random.key(i + 1)))
+            dts.append(time.perf_counter() - t0)
+        distilled["distilled_1step_int8_img_s"] = round(db / min(dts), 1)
+        print(f"distilled 1-step int8: {db / min(dts):.1f} img/s "
+              f"(batch {db})", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — context fields are best-effort
         print(f"distilled-path context unavailable: {e}", file=sys.stderr)
 
