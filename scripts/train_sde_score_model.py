@@ -185,6 +185,15 @@ def main() -> int:
                         "device — data/stream.py). For archives that "
                         "outgrow HBM but fit host RAM. Requires "
                         "--data-path; implies --fused-epoch 0.")
+    p.add_argument("--fresh-data", action="store_true",
+                   help="Procedural source only: draw a FRESH deterministic "
+                        "slice of --n-samples items every epoch (epoch e "
+                        "trains on items [e*n, (e+1)*n)) instead of "
+                        "re-shuffling the same n — unlimited unique data at "
+                        "zero extra cost, since items render on device per "
+                        "batch anyway. No disk pipeline can offer this; it "
+                        "is the TPU-native answer to dataset-size limits "
+                        "(train/steps.py:make_sde_train_epoch).")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Capture a jax.profiler (XPlane/Perfetto) trace of one "
                         "post-warmup epoch into this directory.")
@@ -340,6 +349,9 @@ def main() -> int:
             print("--stream: per-batch dispatch path (the fused-epoch "
                   "program needs the archive resident in HBM)")
             args.fused_epoch = 0
+    if args.fresh_data and not procedural:
+        raise SystemExit("--fresh-data needs the procedural source (a disk "
+                         "archive has only its n items)")
     if procedural:
         cfg = LatticeConfig(img_size=img_size, n_types=args.n_types, rot_only=True)
         n_items = args.n_samples
@@ -435,6 +447,7 @@ def main() -> int:
             nan_safe_metrics=args.skip_nonfinite > 0,
             t_shift=args.fm_shift,
             min_snr_gamma=args.min_snr_gamma,
+            fresh_data=args.fresh_data,
         )
     else:
         step = make_sde_train_step(
@@ -447,9 +460,13 @@ def main() -> int:
             _get_batch = get_batch
             get_batch = lambda idx: shard_batch(mesh, _get_batch(idx))
 
-    def device_batches(epoch_rng):
-        """One epoch of device-resident batches, either path."""
+    def device_batches(epoch_rng, idx_offset: int = 0):
+        """One epoch of device-resident batches, either path. idx_offset
+        shifts the drawn indices into later deterministic procedural slices
+        (--fresh-data)."""
         idx_it = batch_iterator(n_items, args.batch_size, rng=epoch_rng)
+        if idx_offset:
+            idx_it = (b + idx_offset for b in idx_it)
         if args.stream:
             from toycrystals_tpu.data import prefetch_to_device, to_f01
 
@@ -474,6 +491,7 @@ def main() -> int:
         "param": args.param, "fm_shift": args.fm_shift,
         "min_snr_gamma": args.min_snr_gamma,
         "clip_grad_norm": args.clip_grad_norm,
+        "fresh_data": bool(args.fresh_data),
     }
 
     start_epoch = 0
@@ -591,12 +609,18 @@ def main() -> int:
             key, sub = jax.random.split(key)
             if args.fused_epoch:
                 with profiling:
-                    state, avg = epoch_fn(state, sub)
+                    if args.fresh_data:
+                        state, avg = epoch_fn(
+                            state, sub, jnp.int32(epoch * n_items))
+                    else:
+                        state, avg = epoch_fn(state, sub)
                     avg = float(avg)
             else:
                 with profiling:
                     losses = []
-                    for x0, y_cat, y_cont in device_batches(rng):
+                    for x0, y_cat, y_cont in device_batches(
+                        rng, idx_offset=epoch * n_items if args.fresh_data else 0
+                    ):
                         sub, k_step = jax.random.split(sub)
                         state, loss = step(state, x0, y_cat, y_cont, k_step)
                         losses.append(loss)

@@ -401,3 +401,48 @@ def test_clip_grad_norm_chain_bounds_update():
               zip(jax.tree.leaves(p0), jax.tree.leaves(state.params))]
     gnorm = float(np.sqrt(sum((d ** 2).sum() for d in deltas)))
     assert gnorm <= clip + 1e-5
+
+
+def test_sde_fused_epoch_fresh_data():
+    """--fresh-data contract (train/steps.py:make_sde_train_epoch): offset 0
+    reproduces the fixed-dataset epoch EXACTLY (same shuffle, same items);
+    later offsets train on disjoint deterministic slices (different data ->
+    different updated params); resident sources reject the mode."""
+    import pytest
+
+    from toycrystals_tpu.data import LatticeConfig
+    from toycrystals_tpu.train import make_sde_train_epoch
+
+    model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16)
+    cfg = LatticeConfig(img_size=16, rot_only=True)
+    x, ycat, ycont = _fake_batch(b=2, hw=16)
+    params = model.init(K, x, jnp.zeros((2,)), ycat[:2], ycont[:2])["params"]
+    tx = optax.adam(1e-3)
+    sde = VPSDE(0.1, 30.0)
+    kw = dict(batch_size=8, n_items=16, lattice_cfg=cfg, dataset_seed=0)
+
+    fixed = make_sde_train_epoch(model, tx, sde, 4, 0.1, 1.0, 0.0, **kw)
+    fresh = make_sde_train_epoch(model, tx, sde, 4, 0.1, 1.0, 0.0,
+                                 fresh_data=True, **kw)
+
+    copy = lambda: jax.tree.map(jnp.array, params)  # donation-safe copies
+    s_fixed = create_train_state(copy(), tx)
+    s_fixed, loss_fixed = fixed(s_fixed, K)
+    s0 = create_train_state(copy(), tx)
+    s0, loss0 = fresh(s0, K, jnp.int32(0))
+    assert float(loss0) == float(loss_fixed)
+    jax.tree.map(np.testing.assert_array_equal, s0.params, s_fixed.params)
+
+    s1 = create_train_state(copy(), tx)
+    s1, loss1 = fresh(s1, K, jnp.int32(16))  # epoch-1 slice: disjoint items
+    assert float(loss1) != float(loss0)
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s0.params, s1.params))
+    assert max(diffs) > 0.0
+
+    with pytest.raises(ValueError, match="fresh_data"):
+        make_sde_train_epoch(
+            model, tx, sde, 4, 0.1, 1.0, 0.0, batch_size=8, n_items=16,
+            resident=(jnp.zeros((16, 16, 16, 1), jnp.uint8),
+                      jnp.zeros((16,), jnp.int32), jnp.zeros((16, 4))),
+            fresh_data=True)

@@ -384,6 +384,7 @@ def make_sde_train_epoch(
     nan_safe_metrics: bool = False,
     t_shift: float = 1.0,
     min_snr_gamma: float = 0.0,
+    fresh_data: bool = False,
 ) -> Callable:
     """A whole SDE training epoch as one compiled program (new TPU-native
     scope — the reference runs one eager step per batch from a Python loop,
@@ -397,17 +398,36 @@ def make_sde_train_epoch(
     so one skipped overflow step doesn't poison the epoch metric and trip
     the trainer's divergence guard while the params stayed finite.
 
-    Returns epoch_fn(state, key) -> (state, mean_loss). `key` drives both the
-    shuffle and the per-step loss randomness; the state is donated.
+    `fresh_data` (procedural source only) makes the epoch program take an
+    index OFFSET: epoch e trains on deterministic items [e*n, (e+1)*n)
+    instead of re-shuffling the same n — an unlimited-unique-data regime no
+    disk pipeline can offer, at zero extra cost because items render on
+    device per batch anyway. Offset 0 reproduces the fixed-dataset epoch
+    exactly (same shuffle, same items).
+
+    Returns epoch_fn(state, key[, offset]) -> (state, mean_loss). `key`
+    drives both the shuffle and the per-step loss randomness; the state is
+    donated.
     """
     step_fn = make_sde_train_step(model, tx, sde, n_types, p_uncond, t_power,
                                   ema_decay, parameterization, grad_accum,
                                   t_shift, min_snr_gamma)
     get_batch = _batch_source(lattice_cfg, dataset_seed, resident, mesh=mesh)
+    agg = jnp.nanmean if nan_safe_metrics else jnp.mean
+
+    if fresh_data:
+        if lattice_cfg is None:
+            raise ValueError("fresh_data needs the procedural (lattice_cfg) "
+                             "source — a resident archive has only n items")
+
+        def run_batch_off(state, idx, key, offset):
+            x0, y_cat, y_cont = get_batch(idx + offset)
+            return step_fn(state, x0, y_cat, y_cont, key)
+
+        return _make_epoch(run_batch_off, n_items, batch_size, agg)
 
     def run_batch(state, idx, key):
         x0, y_cat, y_cont = get_batch(idx)
         return step_fn(state, x0, y_cat, y_cont, key)
 
-    agg = jnp.nanmean if nan_safe_metrics else jnp.mean
     return _make_epoch(run_batch, n_items, batch_size, agg)
