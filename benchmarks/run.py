@@ -398,6 +398,13 @@ def main() -> int:
                 p_vae = root / sub
                 if p_vae.exists():
                     grids[f"{side}_{nm}"] = (p_vae, 64)
+        # float-vs-int8 serving quality: same checkpoint, same seed (the
+        # quantized path's quality evidence — NOTES.md "int8 quantized")
+        for q in ("float", "int8"):
+            p_q = (REPO / "assets/score_based_diffusion/"
+                   f"repro64r3_{q}_sde300.png")
+            if p_q.exists():
+                grids[f"ours_repro64r3_{q}"] = (p_q, 64)
         # fm-shift flow matching at 256 (the high-res few-step recipe)
         for steps in (50, 4):
             p_fm = (REPO / "assets/score_based_diffusion_256/"
