@@ -64,6 +64,41 @@ def infer_score_ckpt_path(out_dir: str, ckpt: str) -> str:
     raise ValueError("ckpt must be a .msgpack/.orbax/.pt path or one of: last, best")
 
 
+def add_dist_flags(p) -> None:
+    """--coordinator/--num-processes/--process-id: join a multi-process
+    JAX cluster (parallel/multihost.py). On a TPU pod, launching the same
+    command on every host with these flags (or none at all — the TPU
+    runtime advertises the coordinator) turns every `--shard*` mesh into a
+    global one; exactly one process writes checkpoints/figures/metrics."""
+    p.add_argument(
+        "--coordinator", type=str, default=None,
+        help="host:port of process 0 for jax.distributed (multi-host "
+             "runs). Omit everywhere for single-process (the default).")
+    p.add_argument(
+        "--num-processes", type=int, default=None,
+        help="Total number of processes in the cluster.")
+    p.add_argument(
+        "--process-id", type=int, default=None,
+        help="This process's rank in [0, --num-processes).")
+
+
+def init_distributed(args) -> bool:
+    """Join the cluster BEFORE the first device query (select_device calls
+    jax.devices(), which pins backends). Returns True when multi-process."""
+    from toycrystals_tpu.parallel.multihost import maybe_initialize
+
+    multi = maybe_initialize(
+        coordinator=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
+    )
+    if multi:
+        print(f"jax.distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
+    return multi
+
+
 def add_shard_flag(p, space: bool = False, train: bool = True) -> None:
     """--shard N: GSPMD data parallelism over the first N devices."""
     p.add_argument(

@@ -16,7 +16,9 @@ import math
 import os
 
 from _common import (  # noqa: E402
+    add_dist_flags,
     add_shard_flag,
+    init_distributed,
     infer_score_ckpt_path,
     select_device,
     setup_mesh,
@@ -84,6 +86,7 @@ def main() -> int:
                         "256x256 sampling (0.71 vs 0.53 img/s); xla kept as "
                         "a debug/fallback path — benchmarks/NOTES.md.")
     add_shard_flag(p, space=True, train=False)
+    add_dist_flags(p)
 
     # fallback model config (only used if checkpoint has no config)
     p.add_argument("--n-types", type=int, default=4)
@@ -107,6 +110,7 @@ def main() -> int:
                    help="Computation dtype for sampling; 'auto' follows the "
                         "checkpoint's training dtype.")
     args = p.parse_args()
+    multihost = init_distributed(args)
     select_device(args.device)
 
     import jax
@@ -265,6 +269,14 @@ def main() -> int:
         guidance_scale=args.cfg, t_end=args.t_end, n_types=int(cfg["n_types"]),
         clip_x0=bool(args.clip_x0), **sp_kw, **extra_kw,
     )
+    if multihost:
+        # every process computed its shard; gather so process 0 holds the
+        # full grid, then write once (parallel/multihost.py conventions)
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+        if jax.process_index() != 0:
+            return 0
     side = int(math.ceil(math.sqrt(args.n)))
     save_image_grid(
         x, args.out_path, nrows=side, ncols=side,

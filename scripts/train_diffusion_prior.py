@@ -22,7 +22,15 @@ import time
 
 import numpy as np
 
-from _common import ResidentDiskDataset, add_shard_flag, place_state, select_device, setup_mesh  # noqa: E402
+from _common import (  # noqa: E402
+    ResidentDiskDataset,
+    add_dist_flags,
+    add_shard_flag,
+    init_distributed,
+    place_state,
+    select_device,
+    setup_mesh,
+)
 
 
 def main() -> int:
@@ -105,7 +113,9 @@ def main() -> int:
     p.add_argument("--sample-every", type=int, default=1,
                    help="epochs between sample grids (reference samples every "
                         "epoch); 0 disables in-training grids")
+    add_dist_flags(p)
     args = p.parse_args()
+    init_distributed(args)
     select_device(args.device)
 
     import flax.serialization as ser
@@ -129,6 +139,12 @@ def main() -> int:
         save_checkpoint,
     )
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves, type_titles
+
+    from toycrystals_tpu.parallel.multihost import is_primary
+
+    # one process owns host-side writes (ckpt/figures); computation runs on
+    # every process (SPMD over the global mesh)
+    primary = is_primary()
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
@@ -335,7 +351,8 @@ def main() -> int:
                                  args.ddim_steps, vae_z_dim, key_s)
         z = z_norm * z_std + z_mean  # un-standardise (`train_diffusion_prior.py:92-93`)
         x = vae_decode(z, yg_cat, yg_cont)
-        save_image_grid(x, out_path, titles=type_titles(yg_cat))
+        if primary:
+            save_image_grid(x, out_path, titles=type_titles(yg_cat))
 
     if args.sample_only:
         save_samples("results/diffusion_samples.png")
@@ -414,8 +431,9 @@ def main() -> int:
                     f"diverged; last good checkpoint kept at {args.prior_ckpt}."
                 )
             loss_hist.append(avg)
-            print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
-                  f"({steps_per_epoch * args.batch_size / dt:.0f} z/s)")
+            if primary:
+                print(f"epoch {epoch + 1:02d}/{args.epochs} diffusion_loss={avg:.6f} "
+                      f"({steps_per_epoch * args.batch_size / dt:.0f} z/s)")
 
             # single read per epoch: a signal landing between two reads must
             # not let the preempt branch claim a save that never happened
@@ -423,16 +441,17 @@ def main() -> int:
             if preempted or (
                 args.ckpt_every > 0 and (epoch + 1) % args.ckpt_every == 0
             ) or (epoch == args.epochs - 1):
-                save_ckpt(args.prior_ckpt, {
-                    "params": unstack_pipeline_params(state.params) if pipe
-                    else state.params,
-                    "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
-                               "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
-                               "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
-                               "T": args.T, "beta_start": args.beta_start,
-                               "beta_end": args.beta_end,
-                               "n_experts": args.moe_experts},
-                })
+                if primary:
+                    save_ckpt(args.prior_ckpt, {
+                        "params": unstack_pipeline_params(state.params) if pipe
+                        else state.params,
+                        "config": {"z_dim": vae_z_dim, "n_types": args.n_types,
+                                   "y_cont_dim": args.y_cont_dim, "t_emb_dim": args.t_emb_dim,
+                                   "width": args.width, "n_blocks": 8, "y_cat_emb_dim": 64,
+                                   "T": args.T, "beta_start": args.beta_start,
+                                   "beta_end": args.beta_end,
+                                   "n_experts": args.moe_experts},
+                    })
             if preempted:
                 # Preemption (utils/preempt.py): weights saved above regardless
                 # of --ckpt-every; continue with --resume (weights-only, the
@@ -448,11 +467,13 @@ def main() -> int:
                 save_samples("results/diffusion_samples.png")
 
             bucket_avg = bucket_sum / np.maximum(bucket_n, 1.0)
-            print("  bucket loss (low t -> high t):", [f"{v:.3f}" for v in bucket_avg])
+            if primary:
+                print("  bucket loss (low t -> high t):", [f"{v:.3f}" for v in bucket_avg])
 
-    save_loss_curves({"diffusion_loss": loss_hist}, "results/diffusion_loss.png")
-    print("saved: results/diffusion_samples.png, results/diffusion_loss.png, "
-          f"{args.prior_ckpt}")
+    if primary:
+        save_loss_curves({"diffusion_loss": loss_hist}, "results/diffusion_loss.png")
+        print("saved: results/diffusion_samples.png, results/diffusion_loss.png, "
+              f"{args.prior_ckpt}")
     return 0
 
 

@@ -23,7 +23,15 @@ from datetime import datetime
 
 import numpy as np
 
-from _common import ResidentDiskDataset, add_shard_flag, place_state, select_device, setup_mesh  # noqa: E402
+from _common import (  # noqa: E402
+    ResidentDiskDataset,
+    add_dist_flags,
+    add_shard_flag,
+    init_distributed,
+    place_state,
+    select_device,
+    setup_mesh,
+)
 
 
 def _make_run_name(args) -> str:
@@ -226,6 +234,7 @@ def main() -> int:
                         "its state); the process waits for the last write "
                         "before exiting. 0 = fully synchronous saves.")
     add_shard_flag(p, space=True)
+    add_dist_flags(p)
     p.add_argument("--save-best", type=int, default=0, choices=[0, 1],
                    help="Also write sde_score_model_best.msgpack whenever the "
                         "epoch loss improves. The reference's sampler resolves "
@@ -234,6 +243,7 @@ def main() -> int:
                         "that gap, off by default for parity.")
 
     args = p.parse_args()
+    multihost = init_distributed(args)
     select_device(args.device)
 
     import jax
@@ -265,6 +275,13 @@ def main() -> int:
         truncate_jsonl,
     )
     from toycrystals_tpu.utils.figures import save_image_grid, save_loss_curves
+
+    from toycrystals_tpu.parallel.multihost import is_primary
+
+    # Exactly one process owns host-side artefacts (msgpack checkpoints,
+    # figures, metrics.jsonl); Orbax writes stay cooperative — every
+    # process writes its own shards (utils/orbax_io.py).
+    primary = is_primary()
 
     if args.out_dir is None:
         # a fresh timestamped run dir cannot hold a resume checkpoint, so the
@@ -332,6 +349,14 @@ def main() -> int:
                       shard_space=getattr(args, "shard_space", 0),
                       shard_model=getattr(args, "shard_model", 0),
                       img_size=args.img_size)
+    if multihost and not args.ckpt_format == "orbax" and (
+        args.fsdp or getattr(args, "shard_model", 0) > 1
+    ):
+        # msgpack saves gather the full state to one host — impossible when
+        # fsdp/tp leave each process holding only its own weight shards
+        raise SystemExit("multi-host --fsdp/--shard-model needs "
+                         "--ckpt-format orbax (per-shard writes; msgpack "
+                         "would gather non-addressable arrays)")
     if args.grad_accum < 1:
         raise SystemExit(f"--grad-accum must be >= 1, got {args.grad_accum}")
     if args.batch_size % args.grad_accum:
@@ -506,8 +531,9 @@ def main() -> int:
         loss_hist = [float(v) for v in (hist.values() if isinstance(hist, dict) else hist)]
         # --ckpt-every N > 1 means metrics.jsonl can be ahead of the restored
         # epoch; drop those rows so the re-trained epochs don't duplicate them.
-        truncate_jsonl(metrics_path, "epoch", start_epoch)
-        if start_epoch > 0:
+        if primary:
+            truncate_jsonl(metrics_path, "epoch", start_epoch)
+        if start_epoch > 0 and primary:
             print(f"resumed from: {ckpt_path} (next epoch {start_epoch + 1})")
 
     # mesh-aware placement: replication / tp channel sharding / --fsdp
@@ -563,13 +589,21 @@ def main() -> int:
             t_end=args.t_end, n_types=args.n_types,
             clip_x0=bool(args.clip_x0), **grid_kw, **sp_kw,
         )
-        save_image_grid(
-            x, out_path,
-            suptitle=f"{grid_name} | steps={args.sample_steps} | cfg={args.cfg:.2f} | t_end={args.t_end:g}",
-        )
+        if multihost:
+            # every process computed its shard of the grid; gather the full
+            # batch to the host so the primary can write the png
+            from jax.experimental import multihost_utils
 
-    print("starting SDE score-model training loop.")
-    ensure_file(metrics_path)
+            x = multihost_utils.process_allgather(x, tiled=True)
+        if primary:
+            save_image_grid(
+                x, out_path,
+                suptitle=f"{grid_name} | steps={args.sample_steps} | cfg={args.cfg:.2f} | t_end={args.t_end:g}",
+            )
+
+    if primary:
+        print("starting SDE score-model training loop.")
+        ensure_file(metrics_path)
     sample_grid_ok = False
 
     steps_per_epoch = n_items // args.batch_size
@@ -590,7 +624,7 @@ def main() -> int:
         if orbax_fmt:
             (ckpt_mgr if which == "last" else best_mgr).save(
                 epoch + 1, state, meta)
-        else:
+        elif primary:
             path = ckpt_path if which == "last" else os.path.join(
                 ckpt_dir, "sde_score_model_best.msgpack")
             save_ckpt(path, {**meta, "state": state})
@@ -646,8 +680,9 @@ def main() -> int:
                 total_nf = int(jax.device_get(state.opt_state.total_notfinite))
                 if total_nf:
                     skipped = f" [{total_nf} non-finite steps skipped so far]"
-            print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} "
-                  f"({ips:.0f} img/s){skipped}")
+            if primary:
+                print(f"epoch {epoch + 1:03d}/{args.epochs}: loss={avg:.6f} "
+                      f"({ips:.0f} img/s){skipped}")
 
             # single read per epoch: a signal landing between two reads must
             # not let the preempt branch claim a save that never happened
@@ -658,7 +693,8 @@ def main() -> int:
                 write_ckpt("last", epoch)
             if args.save_best and avg <= min(loss_hist):
                 write_ckpt("best", epoch)
-            append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
+            if primary:
+                append_jsonl(metrics_path, {"epoch": epoch + 1, "loss": avg})
             if preempted:
                 # Preemption (utils/preempt.py): checkpoint is saved above
                 # regardless of --ckpt-every; skip diagnostics and exit clean.
@@ -686,10 +722,11 @@ def main() -> int:
                           f"training artefacts are saved — rerun via "
                           f"sample_sde_score_model.py: {e}")
 
-    save_loss_curves({f"{args.param}_mse": loss_hist},
-                     os.path.join(results_dir, "sde_loss.png"))
-    print(f"saved: {os.path.join(results_dir, 'sde_loss.png')}")
-    print(f"checkpoint: {ckpt_path}")
+    if primary:
+        save_loss_curves({f"{args.param}_mse": loss_hist},
+                         os.path.join(results_dir, "sde_loss.png"))
+        print(f"saved: {os.path.join(results_dir, 'sde_loss.png')}")
+        print(f"checkpoint: {ckpt_path}")
     return 0
 
 

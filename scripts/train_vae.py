@@ -19,7 +19,15 @@ import time
 
 import numpy as np
 
-from _common import ResidentDiskDataset, add_shard_flag, place_state, select_device, setup_mesh  # noqa: E402
+from _common import (  # noqa: E402
+    ResidentDiskDataset,
+    add_dist_flags,
+    add_shard_flag,
+    init_distributed,
+    place_state,
+    select_device,
+    setup_mesh,
+)
 
 
 def main() -> int:
@@ -70,8 +78,10 @@ def main() -> int:
                         "waits for the last write before exiting. 0 = "
                         "synchronous saves.")
     add_shard_flag(p)
+    add_dist_flags(p)
     p.set_defaults(uncond=False)
     args = p.parse_args()
+    init_distributed(args)
     select_device(args.device)
 
     import jax
@@ -99,6 +109,12 @@ def main() -> int:
         save_recon_grid,
         type_titles,
     )
+
+    from toycrystals_tpu.parallel.multihost import is_primary
+
+    # one process owns host-side writes (ckpt/figures); computation — incl.
+    # the diagnostic grids — runs on every process (SPMD over the global mesh)
+    primary = is_primary()
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed)
@@ -232,19 +248,20 @@ def main() -> int:
             kl_hist.append(avg["kl"])
             klr_hist.append(avg["kl_raw"])
             ips = n_batches * args.batch_size / dt
-            print(
-                f"epoch {epoch + 1:02d}/{args.epochs} loss={avg['loss']:.4f} "
-                f"recon={avg['recon']:.4f} kl={avg['kl']:.6f} ({ips:.0f} img/s)"
-            )
-            # `params` stays top-level so the frozen-VAE consumers
-            # (train_diffusion_prior.py) keep their schema; the extra fields make
-            # the checkpoint resumable.
-            save_ckpt(ckpt_path, {
-                "params": state.params, "config": config,
-                "opt_state": state.opt_state, "epoch_next": epoch + 1,
-                "hists": {"loss": loss_hist, "recon": recon_hist,
-                          "kl": kl_hist, "kl_raw": klr_hist},
-            })
+            if primary:
+                print(
+                    f"epoch {epoch + 1:02d}/{args.epochs} loss={avg['loss']:.4f} "
+                    f"recon={avg['recon']:.4f} kl={avg['kl']:.6f} ({ips:.0f} img/s)"
+                )
+                # `params` stays top-level so the frozen-VAE consumers
+                # (train_diffusion_prior.py) keep their schema; the extra fields make
+                # the checkpoint resumable.
+                save_ckpt(ckpt_path, {
+                    "params": state.params, "config": config,
+                    "opt_state": state.opt_state, "epoch_next": epoch + 1,
+                    "hists": {"loss": loss_hist, "recon": recon_hist,
+                              "kl": kl_hist, "kl_raw": klr_hist},
+                })
             if stop.requested:
                 # Preemption (utils/preempt.py): the per-epoch save above is
                 # durable before process exit (AsyncCheckpointer joins its
@@ -265,7 +282,8 @@ def main() -> int:
         x_hat, _, _ = model.apply(
             {"params": state.params}, x0, y0_cat, y0_cont, rngs={"reparam": k_rep}
         )
-    save_recon_grid(x0, x_hat, y0_cat, "results/vae_recon.png")
+    if primary:
+        save_recon_grid(x0, x_hat, y0_cat, "results/vae_recon.png")
 
     # standard-prior samples (`train_vae.py:76-111`)
     n_grid = 36
@@ -273,13 +291,15 @@ def main() -> int:
     z = jax.random.normal(k_z, (n_grid, args.z_dim))
     if args.uncond:
         x_prior = model.apply({"params": state.params}, z, method="decode")
-        save_image_grid(x_prior, "results/vae_samples_prior.png")
+        if primary:
+            save_image_grid(x_prior, "results/vae_samples_prior.png")
     else:
         yg_cat, yg_cont = sample_grid_conditions(n_grid, args.n_types, args.y_cont_dim)
         x_prior = model.apply(
             {"params": state.params}, z, yg_cat, yg_cont, method="decode"
         )
-        save_image_grid(x_prior, "results/vae_samples_prior.png", titles=type_titles(yg_cat))
+        if primary:
+            save_image_grid(x_prior, "results/vae_samples_prior.png", titles=type_titles(yg_cat))
 
     # mixture-of-posteriors samples (`train_vae.py:115-220`), vectorised matching
     pool_size = 4096
@@ -291,7 +311,8 @@ def main() -> int:
         mu, logvar = model.apply({"params": state.params}, px[sel], method="encode")
         z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(k_rep2, mu.shape)
         x_mop = model.apply({"params": state.params}, z, method="decode")
-        save_image_grid(x_mop, "results/vae_samples_mop.png")
+        if primary:
+            save_image_grid(x_mop, "results/vae_samples_mop.png")
     else:
         yg_cat, yg_cont = sample_grid_conditions(n_grid, args.n_types, args.y_cont_dim)
 
@@ -308,12 +329,14 @@ def main() -> int:
         x_mop = model.apply(
             {"params": state.params}, z, yg_cat, yg_cont, method="decode"
         )
-        save_image_grid(x_mop, "results/vae_samples_mop.png", titles=type_titles(yg_cat))
+        if primary:
+            save_image_grid(x_mop, "results/vae_samples_mop.png", titles=type_titles(yg_cat))
 
-    save_loss_curves(
-        {"total": loss_hist, "recon": recon_hist, "kl": kl_hist}, "results/vae_loss.png"
-    )
-    print("saved: results/vae_recon.png, results/vae_samples_prior.png, results/vae_loss.png")
+    if primary:
+        save_loss_curves(
+            {"total": loss_hist, "recon": recon_hist, "kl": kl_hist}, "results/vae_loss.png"
+        )
+        print("saved: results/vae_recon.png, results/vae_samples_prior.png, results/vae_loss.png")
     return 0
 
 

@@ -1,0 +1,166 @@
+"""Multi-host (multi-process) support: parallel/multihost.py + the
+trainer's --coordinator/--num-processes/--process-id entry path.
+
+The reference is single-process (SURVEY.md §2 parallelism audit); this is
+the framework's own scale-out past one host. Proven without hardware by a
+real 2-process CPU `jax.distributed` cluster — each process simulates 4
+host devices, forming the same 8-device global mesh the rest of the suite
+uses — and asserting loss parity with the single-process 8-device run of
+the identical config (same seed, same global program: GSPMD compiles the
+same collectives whether the 8 devices live in one process or two).
+
+The workers run in subprocesses (a process can only join one cluster, and
+the suite's own jax is already initialized single-process); each worker
+drives the REAL trainer CLI via runpy, so the whole entry path —
+init_distributed before device queries, global mesh from setup_mesh,
+process-0 gating of msgpack/metrics/figure writes — is what is tested.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import os, sys
+flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+         if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+import runpy
+sys.argv = [sys.argv[1]] + sys.argv[2:]
+sys.path.insert(0, os.path.dirname(sys.argv[0]))  # scripts/ for _common
+try:
+    runpy.run_path(sys.argv[0], run_name="__main__")
+except SystemExit as e:
+    code = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
+    sys.stdout.flush(); sys.stderr.flush()
+    os._exit(code)
+sys.stdout.flush(); sys.stderr.flush()
+os._exit(0)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _train_args(out_dir: str, extra: list[str]) -> list[str]:
+    return [
+        str(REPO / "scripts" / "train_sde_score_model.py"),
+        "--device", "cpu", "--procedural", "--img-size", "16",
+        "--n-samples", "64", "--batch-size", "16", "--epochs", "2",
+        "--shard", "8", "--sample-every", "0", "--seed", "3",
+        "--ema-decay", "0.999", "--out-dir", out_dir,
+    ] + extra
+
+
+def _run_cluster(tmp_path, out_dir: str, extra: list[str], n_proc: int = 2):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    procs = []
+    for pid in range(n_proc):
+        cmd = [sys.executable, str(worker)] + _train_args(out_dir, extra + [
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", str(n_proc), "--process-id", str(pid),
+        ])
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        ))
+    outs = []
+    for pr in procs:
+        out, _ = pr.communicate(timeout=600)
+        outs.append(out)
+    for pr, out in zip(procs, outs):
+        assert pr.returncode == 0, f"worker rc={pr.returncode}\n{out[-4000:]}"
+    return outs
+
+
+def _run_single(tmp_path, out_dir: str, extra: list[str]) -> str:
+    worker = tmp_path / "worker1.py"
+    worker.write_text(WORKER.replace("device_count=4", "device_count=8"))
+    cmd = [sys.executable, str(worker)] + _train_args(out_dir, extra)
+    res = subprocess.run(cmd, cwd=REPO, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout[-4000:]
+    return res.stdout
+
+
+def _losses(out_dir: Path) -> list[float]:
+    rows = [json.loads(l) for l in
+            (out_dir / "metrics.jsonl").read_text().splitlines() if l.strip()]
+    return [r["loss"] for r in rows]
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process(tmp_path):
+    """2-process x 4-device cluster == 1-process x 8-device run, bitwise
+    same program: per-epoch losses agree and only process 0 writes."""
+    multi_dir = tmp_path / "multi"
+    single_dir = tmp_path / "single"
+    outs = _run_cluster(tmp_path, str(multi_dir), [])
+    _run_single(tmp_path, str(single_dir), [])
+
+    l_multi, l_single = _losses(multi_dir), _losses(single_dir)
+    assert len(l_multi) == len(l_single) == 2
+    np.testing.assert_allclose(l_multi, l_single, rtol=2e-5)
+
+    # the cluster joined: both workers reported global device counts
+    assert any("4 local / 8 global devices" in o for o in outs)
+    # process-0 gating: exactly one checkpoint + metrics writer (the run
+    # dir is shared; a second writer would have duplicated jsonl rows)
+    ckpt = multi_dir / "checkpoints" / "sde_score_model_last.msgpack"
+    assert ckpt.exists()
+    p0 = next(o for o in outs if "process 0/2" in o)
+    p1 = next(o for o in outs if "process 1/2" in o)
+    assert "epoch 001/2" in p0
+    assert "epoch 001/2" not in p1  # non-primary stays quiet
+
+
+@pytest.mark.slow
+def test_two_process_resume(tmp_path):
+    """--resume across a 2-process cluster restores on every process and
+    continues with fresh-data offsets intact."""
+    out = tmp_path / "resumed"
+    _run_cluster(tmp_path, str(out), ["--fresh-data"])
+    losses_a = _losses(out)
+    _run_cluster(tmp_path, str(out), ["--fresh-data", "--resume", "--epochs", "3"])
+    losses_b = _losses(out)
+    assert len(losses_a) == 2 and len(losses_b) == 3
+    assert losses_b[:2] == losses_a  # metrics truncated/continued, not doubled
+
+
+def test_maybe_initialize_noop_without_flags():
+    """No flags -> single-process no-op (the default for every CLI)."""
+    from toycrystals_tpu.parallel.multihost import is_primary, maybe_initialize
+
+    assert maybe_initialize() is False
+    assert is_primary()
+
+
+def test_global_batch_single_process_falls_back():
+    """global_batch == shard_batch placement when there is one process."""
+    import jax
+    from toycrystals_tpu.parallel import global_batch, make_mesh
+
+    mesh = make_mesh(8)
+    x = np.arange(32, dtype=np.float32).reshape(16, 2)
+    g = global_batch(mesh, (x, np.float32(2.0)))
+    assert isinstance(g, tuple)
+    np.testing.assert_array_equal(np.asarray(g[0]), x)
+    assert g[0].sharding.spec == jax.sharding.PartitionSpec("data", None)

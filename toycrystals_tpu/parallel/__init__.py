@@ -28,6 +28,11 @@ from toycrystals_tpu.parallel.fsdp import (
     shard_params_fsdp,
     fsdp_coverage,
 )
+from toycrystals_tpu.parallel.multihost import (
+    maybe_initialize,
+    is_primary,
+    global_batch,
+)
 from toycrystals_tpu.parallel.pipeline import (
     make_mesh_pp,
     stack_pipeline_params,
@@ -58,6 +63,9 @@ __all__ = [
     "fsdp_sharding",
     "shard_params_fsdp",
     "fsdp_coverage",
+    "maybe_initialize",
+    "is_primary",
+    "global_batch",
     "make_mesh_pp",
     "stack_pipeline_params",
     "unstack_pipeline_params",

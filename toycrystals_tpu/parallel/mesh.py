@@ -49,9 +49,15 @@ def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
 def shard_batch(mesh: Mesh | None, batch: Any, axis: str = "data") -> Any:
     """device_put every leaf with its leading dim sharded over the mesh
     (scalars pass through). mesh=None is a passthrough, so single-device
-    call sites need no conditional."""
+    call sites need no conditional. On a multi-process mesh the leaves
+    route through parallel/multihost.py global_batch (each process
+    materialises only its addressable shards)."""
     if mesh is None:
         return batch
+    if jax.process_count() > 1:
+        from toycrystals_tpu.parallel.multihost import global_batch
+
+        return global_batch(mesh, batch, axis)
     return jax.tree.map(
         lambda x: x if np.ndim(x) == 0
         else jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)),
