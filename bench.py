@@ -171,6 +171,8 @@ def main() -> int:
     # field next to the bf16 headline; quality of the quantized path is the
     # scored int8 grid in assets/FIGURES.md / benchmarks/NOTES.md.
     int8_field = {}
+    apply_q = None  # defined by the int8 block; the distilled-int8 section
+    # below must not NameError (and mask its real cause) when this fails
     try:
         unet_q = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
                               emb_dim=128, dtype=dtype, conv_impl="int8")
@@ -231,6 +233,10 @@ def main() -> int:
 
         # int8 on the 1-step distilled path: at 1 eval/image the model IS
         # the whole cost, so the conv-path speedup applies almost fully
+        if apply_q is None:
+            raise RuntimeError("int8 conv path unavailable (see int8-path "
+                               "message above); skipping distilled-int8")
+
         def run_d1q(key):
             return checksum(sample_ddim(
                 apply_q, params, sde, dy_cat, dy_cont, (db, 64, 64, 1),

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Materialise the procedural dataset to a .npz archive.
+"""Materialise the procedural dataset to a .npz (or reference .pt) archive.
 
 Same flag surface and artefact contract as the reference
 (`/root/reference/scripts/build_dataset.py:12-47`): u8-quantised images +
@@ -34,7 +34,18 @@ def main() -> int:
     p.add_argument("--rot-only", default=True, action="store_true")
     p.add_argument("--device", type=str, default="auto")
     p.add_argument("--batch-size", type=int, default=2048, help="on-device generation batch")
+    p.add_argument("--format", type=str, default=None, choices=["npz", "pt"],
+                   help="Archive format: npz (ours, default) or pt — the "
+                        "reference's torch dict {x_u8 [N,1,H,W] u8, y_cat "
+                        "i64, y_cont f32} (`/root/reference/scripts/"
+                        "build_dataset.py:28-41`), so a dataset built here "
+                        "feeds the reference's own trainers unmodified (the "
+                        "reverse direction — its .pt loading here — is "
+                        "data/datasets.py:load_archive). Default: inferred "
+                        "from --out's extension.")
     args = p.parse_args()
+    if args.format is None:
+        args.format = "pt" if args.out.endswith(".pt") else "npz"
     select_device(args.device)
 
     import jax.numpy as jnp
@@ -70,7 +81,22 @@ def main() -> int:
         y_cont[start:stop] = np.asarray(yv)
         print(f"{stop}/{n}")
 
-    np.savez_compressed(out_path, x_u8=x_u8, y_cat=y_cat, y_cont=y_cont)
+    if args.format == "pt":
+        import torch
+
+        # exact reference schema: NCHW u8 images, int64 categories
+        torch.save(
+            {
+                "x_u8": torch.from_numpy(
+                    np.ascontiguousarray(np.transpose(x_u8, (0, 3, 1, 2)))
+                ),
+                "y_cat": torch.from_numpy(y_cat.astype(np.int64)),
+                "y_cont": torch.from_numpy(y_cont),
+            },
+            str(out_path),
+        )
+    else:
+        np.savez_compressed(out_path, x_u8=x_u8, y_cat=y_cat, y_cont=y_cont)
     dt = time.perf_counter() - t0
     print(f"saved {out_path} ({n} items in {dt:.1f}s, {n / dt:.0f} items/s)")
     return 0

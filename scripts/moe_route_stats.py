@@ -50,9 +50,13 @@ def main() -> int:
     raw = load_checkpoint(args.ckpt)
     cfg = raw["config"]
     e = int(cfg.get("n_experts", 0))
-    if e <= 0:
-        raise SystemExit(f"{args.ckpt}: not an MoE prior checkpoint "
-                         f"(config n_experts={e}); train with --moe-experts")
+    if e < 2:
+        # e == 1 would also pass the old <= 0 guard and then divide the
+        # entropy by log(1) = 0 below; a 1-expert "MoE" has no routing to
+        # report anyway
+        raise SystemExit(f"{args.ckpt}: not a routed MoE prior checkpoint "
+                         f"(config n_experts={e}); train with "
+                         f"--moe-experts >= 2")
     prior = DiffusionPriorMoE(
         z_dim=int(cfg["z_dim"]), n_types=int(cfg["n_types"]),
         y_cont_dim=int(cfg["y_cont_dim"]), n_experts=e,

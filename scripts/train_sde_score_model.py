@@ -377,6 +377,13 @@ def main() -> int:
     if args.fresh_data and not procedural:
         raise SystemExit("--fresh-data needs the procedural source (a disk "
                          "archive has only its n items)")
+    if args.fresh_data and args.epochs * args.n_samples >= 2**31:
+        # generate_batch folds int32 indices into the RNG; past 2^31 the
+        # offset would wrap and silently alias back onto earlier slices
+        raise SystemExit(
+            f"--fresh-data: epochs x n-samples = "
+            f"{args.epochs * args.n_samples:,} overflows the int32 item-"
+            f"index space (2^31); lower --epochs or --n-samples")
     if procedural:
         cfg = LatticeConfig(img_size=img_size, n_types=args.n_types, rot_only=True)
         n_items = args.n_samples

@@ -52,6 +52,36 @@ def test_01_build_dataset(workdir):
     assert obj["y_cont"].shape == (64, 4)
 
 
+def test_01b_build_dataset_pt_writeback(workdir):
+    """--format pt (or a .pt --out) writes the REFERENCE's torch archive
+    schema (`/root/reference/scripts/build_dataset.py:28-41`): a dataset
+    built here feeds the reference's trainers unmodified — the write-back
+    half of the .pt interop whose load half is load_archive."""
+    run(
+        "build_dataset.py", "--n-samples", "64", "--img-size", "32",
+        "--out", "data/train.pt", "--batch-size", "64", cwd=workdir,
+    )
+    import numpy as np
+    import torch
+
+    # torch-side load: exactly what the reference's ToyCrystalsDiskDataset
+    # does (`/root/reference/src/toycrystals/disk_data.py:8-16`)
+    obj = torch.load(workdir / "data/train.pt", map_location="cpu")
+    assert set(obj) == {"x_u8", "y_cat", "y_cont"}
+    assert obj["x_u8"].shape == (64, 1, 32, 32) and obj["x_u8"].dtype == torch.uint8
+    assert obj["y_cat"].dtype == torch.int64
+    assert obj["y_cont"].shape == (64, 4) and obj["y_cont"].dtype == torch.float32
+
+    # our-side round trip + bit-identical to the npz built by test_01
+    from toycrystals_tpu.data.datasets import load_archive
+
+    xa, ca, va = load_archive(workdir / "data/train.pt")
+    ref = np.load(workdir / "data/train.npz")
+    np.testing.assert_array_equal(xa, ref["x_u8"])
+    np.testing.assert_array_equal(ca, ref["y_cat"].astype(np.int32))
+    np.testing.assert_array_equal(va, ref["y_cont"])
+
+
 def test_02_preview(workdir):
     run("preview_data.py", "--img-size", "32", cwd=workdir)
     assert (workdir / "results/preview_toycrystals.png").exists()

@@ -109,16 +109,28 @@ def load_archive(path: str | Path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
       `{x_u8 [N,1,H,W] u8, y_cat [N] i64, y_cont [N,4] f32}`, NCHW) — so a
       migrating user's prebuilt archive trains here unmodified.
 
-    Format is sniffed from the file, not the extension (a `.pt` is a zip
-    with no `x_u8.npy` member; `np.load` only reads npz/npy).
+    Format is sniffed from the file, not the extension: both formats are
+    zips, but an npz carries an `x_u8.npy` member while a torch archive
+    carries `data.pkl` (legacy torch saves aren't zips at all). Sniffing
+    the member list — instead of try-npz-except-torch — keeps a corrupted
+    or partially-written npz surfacing its REAL npz error rather than a
+    confusing torch-parse failure.
     """
+    import zipfile
+
     p = Path(path)
+    is_npz = False
     try:
+        with zipfile.ZipFile(p) as zf:
+            is_npz = any(n.endswith("x_u8.npy") for n in zf.namelist())
+    except (zipfile.BadZipFile, OSError):
+        is_npz = False  # legacy (non-zip) torch pickle, or not an archive
+    if is_npz:
         obj = np.load(p)
         x_u8 = np.asarray(obj["x_u8"])
         y_cat = np.asarray(obj["y_cat"])
         y_cont = np.asarray(obj["y_cont"])
-    except Exception:
+    else:
         from toycrystals_tpu.utils.torch_interop import _torch_load
 
         obj = _torch_load(str(p))
