@@ -122,3 +122,44 @@ def test_attn_impl_threads_through_unet():
     out_auto = m_auto.apply({"params": params}, x, t, yc, yv)
     out_xla = m_xla.apply({"params": params}, x, t, yc, yv)
     np.testing.assert_array_equal(np.asarray(out_xla), np.asarray(out_auto))
+
+
+def test_s2d_stem_shapes_and_roundtrip():
+    """stem="s2d" (the MXU contraction-depth experiment,
+    benchmarks/s2d_experiment.py): space-to-depth/depth-to-space invert
+    each other, the folded U-Net keeps the output contract, and gradients
+    flow to the stem conv."""
+    import jax.numpy as jnp
+
+    from toycrystals_tpu.models import CondUNetTiny
+    from toycrystals_tpu.models.sde_score_model import (
+        _depth_to_space2,
+        _space_to_depth2,
+    )
+
+    x = jax.random.normal(K, (2, 8, 8, 3))
+    np.testing.assert_allclose(
+        np.asarray(_depth_to_space2(_space_to_depth2(x))), np.asarray(x))
+    # s2d is a pure permutation: every input element appears exactly once
+    folded = _space_to_depth2(x)
+    assert folded.shape == (2, 4, 4, 12)
+    np.testing.assert_allclose(np.sort(np.asarray(folded).ravel()),
+                               np.sort(np.asarray(x).ravel()))
+
+    m = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=16, emb_dim=32,
+                     stem="s2d")
+    xi = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    t = jnp.array([0.2, 0.8])
+    yc = jnp.array([0, 1], jnp.int32)
+    yv = jax.random.normal(jax.random.key(2), (2, 4))
+    params = m.init(K, xi, t, yc, yv)["params"]
+    out = m.apply({"params": params}, xi, t, yc, yv)
+    assert out.shape == (2, 32, 32, 1)
+    assert out.dtype == jnp.float32
+    # the folded stem conv contracts 4x the channels of the plain stem
+    assert params["down1"]["conv0"]["kernel"].shape[2] == 4 * (1 + 8 + 8)
+
+    g = jax.grad(lambda p: jnp.sum(
+        m.apply({"params": p}, xi, t, yc, yv) ** 2))(params)
+    gn = np.asarray(jnp.linalg.norm(g["down1"]["conv0"]["kernel"]))
+    assert np.isfinite(gn) and gn > 0

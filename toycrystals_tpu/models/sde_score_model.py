@@ -116,6 +116,22 @@ class _ConvBlock(nn.Module):
         return x
 
 
+def _space_to_depth2(x: jax.Array) -> jax.Array:
+    """[B,H,W,C] -> [B,H/2,W/2,4C]: each 2x2 patch becomes 4 channels.
+    Periodicity survives (the period halves with the grid), so circular
+    convs on the folded grid stay consistent with the lattice wrap."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space2(x: jax.Array) -> jax.Array:
+    """Inverse of _space_to_depth2: [B,H,W,4C] -> [B,2H,2W,C]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, 2, 2, c // 4)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c // 4)
+
+
 def _bilinear_up2(x: jax.Array) -> jax.Array:
     """Bilinear 2x upsample, align_corners=False semantics
     (`sde_score_model.py:217,221`; jax.image.resize uses half-pixel centres)."""
@@ -141,6 +157,14 @@ class CondUNetTiny(nn.Module):
     # beats xla for forward-only 256x256 sampling (0.71 vs 0.53 img/s,
     # measured 12-img chunks x 300 steps) — benchmarks/NOTES.md.
     attn_impl: str = "auto"  # "auto" | "xla" | "flash"
+    # "s2d": space-to-depth stem — fold 2x2 patches into channels at input
+    # (in_ch 17 -> 68, H -> H/2) and undo with depth-to-space at the head
+    # (the out conv predicts 4 channels on the half grid). The MXU-shape
+    # experiment for the conv contraction-depth shortfall diagnosed in the
+    # op-level profile (benchmarks/NOTES.md): the first convs see 4x the
+    # contraction dim. Changes the architecture (skips/attention sit one
+    # octave lower), so checkpoints are not interchangeable with stem="none".
+    stem: str = "none"  # "none" | "s2d"
 
     @nn.compact
     def __call__(self, x_t: jax.Array, t: jax.Array, y_cat: jax.Array, y_cont: jax.Array):
@@ -160,6 +184,8 @@ class CondUNetTiny(nn.Module):
         maps = jnp.concatenate([t_map, c_map], axis=-1)[:, None, None, :]
         maps = jnp.broadcast_to(maps, (b, h, w, self.time_ch + self.cond_ch))
         x = jnp.concatenate([x_t.astype(dt), maps], axis=-1)
+        if self.stem == "s2d":
+            x = _space_to_depth2(x)
 
         ci, gi = self.conv_impl, self.gn_impl
 
@@ -187,7 +213,11 @@ class CondUNetTiny(nn.Module):
         hh = us_conv(hh, bc, "us1_conv")
         hh = block(jnp.concatenate([hh, h1], axis=-1), bc, "up1")
 
-        out = CircularConv(1, (3, 3), dtype=dt, impl=ci, name="out")(hh)
+        if self.stem == "s2d":
+            out = CircularConv(4, (3, 3), dtype=dt, impl=ci, name="out")(hh)
+            out = _depth_to_space2(out)
+        else:
+            out = CircularConv(1, (3, 3), dtype=dt, impl=ci, name="out")(hh)
         return out.astype(jnp.float32)
 
 
