@@ -44,7 +44,13 @@ sys.path.insert(0, os.path.dirname(sys.argv[0]))  # scripts/ for _common
 try:
     runpy.run_path(sys.argv[0], run_name="__main__")
 except SystemExit as e:
-    code = e.code if isinstance(e.code, int) else (0 if e.code is None else 1)
+    if isinstance(e.code, int):
+        code = e.code
+    elif e.code is None:
+        code = 0
+    else:
+        print(e.code, file=sys.stderr)  # SystemExit("message") contract
+        code = 1
     sys.stdout.flush(); sys.stderr.flush()
     os._exit(code)
 sys.stdout.flush(); sys.stderr.flush()
@@ -68,7 +74,8 @@ def _train_args(out_dir: str, extra: list[str]) -> list[str]:
     ] + extra
 
 
-def _run_cluster(tmp_path, out_dir: str, extra: list[str], n_proc: int = 2):
+def _run_cluster(tmp_path, out_dir: str, extra: list[str], n_proc: int = 2,
+                 expect_rc: int = 0):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     port = _free_port()
@@ -87,7 +94,8 @@ def _run_cluster(tmp_path, out_dir: str, extra: list[str], n_proc: int = 2):
         out, _ = pr.communicate(timeout=600)
         outs.append(out)
     for pr, out in zip(procs, outs):
-        assert pr.returncode == 0, f"worker rc={pr.returncode}\n{out[-4000:]}"
+        assert pr.returncode == expect_rc, \
+            f"worker rc={pr.returncode} (expected {expect_rc})\n{out[-4000:]}"
     return outs
 
 
@@ -143,6 +151,28 @@ def test_two_process_resume(tmp_path):
     losses_b = _losses(out)
     assert len(losses_a) == 2 and len(losses_b) == 3
     assert losses_b[:2] == losses_a  # metrics truncated/continued, not doubled
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_orbax_checkpoint(tmp_path):
+    """Multi-host ZeRO-3: each process writes its own weight shards into ONE
+    cooperative Orbax checkpoint (no gather of non-addressable arrays) —
+    the path the trainer's msgpack guard points users to."""
+    out = tmp_path / "fsdp_orbax"
+    _run_cluster(tmp_path, str(out),
+                 ["--fsdp", "--ckpt-format", "orbax", "--base-ch", "32"])
+    ck = out / "checkpoints" / "sde_score_model_last.orbax"
+    assert (ck / "2" / "state").exists()  # per-epoch steps committed
+    assert len(_losses(out)) == 2
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_msgpack_refused(tmp_path):
+    """Multi-host --fsdp with the default msgpack format must refuse up
+    front (a save would gather non-addressable arrays) with the orbax hint."""
+    outs = _run_cluster(tmp_path, str(tmp_path / "refused"),
+                        ["--fsdp", "--base-ch", "32"], expect_rc=1)
+    assert any("--ckpt-format orbax" in o for o in outs)
 
 
 def test_maybe_initialize_noop_without_flags():
