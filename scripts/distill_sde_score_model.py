@@ -152,7 +152,7 @@ def main() -> int:
         base_ch=int(tcfg["base_ch"]), emb_dim=int(tcfg["emb_dim"]),
         cond_ch=int(tcfg.get("cond_ch", 8)), time_ch=int(tcfg.get("time_ch", 8)),
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
-        attn_impl=args.attn_impl,
+        attn_impl=args.attn_impl, stem=str(tcfg.get("stem", "none")),
     )
     apply_fn = lambda prm, xt, t, yc, yv: model.apply({"params": prm}, xt, t, yc, yv)
     sde = VPSDE(

@@ -38,6 +38,11 @@ def main() -> int:
     from toycrystals_tpu.utils.torch_interop import torch_state_dict_from_flax_params
 
     payload = load_checkpoint(args.ckpt)
+    if str(payload.get("config", {}).get("stem", "none")) != "none":
+        raise SystemExit(
+            "this checkpoint was trained with --stem s2d; the reference "
+            "architecture has no space-to-depth stem, so there is no torch "
+            "layout to export to")
     state = payload["state"]
     obj = {
         "epoch_next": int(payload.get("epoch_next", 0)),

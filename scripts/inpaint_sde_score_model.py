@@ -156,7 +156,7 @@ def main() -> int:
         base_ch=int(cfg["base_ch"]), emb_dim=int(cfg["emb_dim"]),
         cond_ch=int(cfg.get("cond_ch", 8)), time_ch=int(cfg.get("time_ch", 8)),
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
-        attn_impl=args.attn_impl,
+        attn_impl=args.attn_impl, stem=str(cfg.get("stem", "none")),
     )
     sde = VPSDE(beta_min=float(cfg.get("beta_min", 0.1)),
                 beta_max=float(cfg.get("beta_max", 30.0)),

@@ -158,7 +158,7 @@ def main() -> int:
         cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
         dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
         conv_impl="int8" if args.quantize == "int8" else "pad",
-        attn_impl=args.attn_impl,
+        attn_impl=args.attn_impl, stem=str(cfg.get("stem", "none")),
     )
     state = payload["state"]
     params = state["params"]

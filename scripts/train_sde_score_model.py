@@ -69,6 +69,13 @@ def main() -> int:
     p.add_argument("--y-cont-dim", type=int, default=4)
     p.add_argument("--base-ch", type=int, default=96)
     p.add_argument("--emb-dim", type=int, default=128)
+    p.add_argument("--stem", type=str, default=None, choices=["none", "s2d"],
+                   help="U-Net stem: 's2d' folds 2x2 patches into channels at "
+                        "input (whole trunk one octave lower, ~3.8x fewer "
+                        "FLOPs, +4.6pt MFU — benchmarks/NOTES.md). Changes "
+                        "the architecture; checkpoints are not "
+                        "interchangeable with stem=none. Default: none, or "
+                        "the checkpoint's stem on --resume.")
     p.add_argument("--cond-ch", type=int, default=8)
     p.add_argument("--time-ch", type=int, default=8)
 
@@ -320,6 +327,8 @@ def main() -> int:
         args.img_size = int(rcfg.get("img_size") or 64)
     if args.param is None:
         args.param = str(rcfg.get("param") or "eps")
+    if args.stem is None:
+        args.stem = str(rcfg.get("stem") or "none")
     # the SDE schedule must survive --resume (a shifted run silently
     # continuing at shift=0 diverges AND rewrites the config the sampler
     # trusts); explicit flags still override
@@ -417,7 +426,7 @@ def main() -> int:
     model = CondUNetTiny(
         n_types=args.n_types, y_cont_dim=args.y_cont_dim, base_ch=args.base_ch,
         emb_dim=args.emb_dim, cond_ch=args.cond_ch, time_ch=args.time_ch,
-        dtype=comp_dtype, attn_impl=args.attn_impl,
+        dtype=comp_dtype, attn_impl=args.attn_impl, stem=args.stem,
     )
     sde = VPSDE(beta_min=args.beta_min, beta_max=args.beta_max,
                 logsnr_shift=args.logsnr_shift)
@@ -520,7 +529,7 @@ def main() -> int:
         "time_ch": args.time_ch, "beta_min": args.beta_min, "beta_max": args.beta_max,
         "logsnr_shift": args.logsnr_shift,
         "t_power": args.t_power, "p_uncond": args.p_uncond, "dtype": dtype_name,
-        "param": args.param, "fm_shift": args.fm_shift,
+        "param": args.param, "fm_shift": args.fm_shift, "stem": args.stem,
         "min_snr_gamma": args.min_snr_gamma,
         "clip_grad_norm": args.clip_grad_norm,
         "fresh_data": bool(args.fresh_data),

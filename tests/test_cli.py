@@ -410,3 +410,36 @@ def test_13_min_snr_and_grad_clip(workdir):
     )
     assert bad.returncode != 0
     assert "--min-snr-gamma" in (bad.stdout + bad.stderr)
+
+
+def test_16_s2d_stem_train_and_sample(workdir):
+    """--stem s2d end-to-end: the trainer builds the folded-stem U-Net and
+    self-describes it in the checkpoint; the sampler CLI rebuilds the s2d
+    architecture from that config byte; the torch exporter refuses (the
+    reference has no s2d layout)."""
+    run(
+        "train_sde_score_model.py", "--procedural", "--n-samples", "64",
+        "--epochs", "1", "--batch-size", "32", "--base-ch", "8",
+        "--emb-dim", "16", "--stem", "s2d", "--sample-every", "0",
+        "--out-dir", "runs/s2d", cwd=workdir,
+    )
+    ckpt = workdir / "runs/s2d/checkpoints/sde_score_model_last.msgpack"
+    from toycrystals_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(str(ckpt))
+    assert payload["config"]["stem"] == "s2d"
+    # s2d head predicts 4 channels on the half grid (depth-to-space output)
+    assert payload["state"]["params"]["out"]["kernel"].shape[-1] == 4
+    run(
+        "sample_sde_score_model.py", "--out-dir", "runs/s2d", "--ckpt", "last",
+        "--steps", "3", "--sampler", "sde", "--n", "4", cwd=workdir,
+    )
+    assert list((workdir / "runs/s2d/results").glob("samples_ckpt-*"))
+
+    import subprocess
+    bad = subprocess.run(
+        [sys.executable, str(SCRIPTS / "export_torch_checkpoint.py"),
+         "--ckpt", str(ckpt), "--out", str(workdir / "s2d.pt")],
+        cwd=workdir, env=ENV, capture_output=True, text=True, timeout=300,
+    )
+    assert bad.returncode != 0 and "no space-to-depth stem" in bad.stderr

@@ -362,3 +362,32 @@ def test_http_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server + "/nope")
     assert e.value.code == 404
+
+
+def test_s2d_stem_checkpoint_roundtrip(tmp_path):
+    """A checkpoint whose config carries stem="s2d" (trainer --stem s2d)
+    rebuilds the s2d architecture in every config-driven consumer: the
+    service must apply the folded-stem model (param tree differs from
+    stem="none" — out conv predicts 4 channels on the half grid) and return
+    full-resolution samples."""
+    u = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=8, emb_dim=16,
+                     stem="s2d")
+    params = u.init(K, jnp.zeros((2, 16, 16, 1)), jnp.zeros((2,)),
+                    jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)))["params"]
+    assert params["out"]["kernel"].shape[-1] == 4  # s2d head, not the 1-ch one
+    state = create_train_state(params, optax.adam(1e-3), ema=True)
+    path = tmp_path / "s2d.msgpack"
+    save_checkpoint(path, {"epoch_next": 1, "state": state, "loss_hist": [0.1],
+                           "config": dict(CFG, stem="s2d")})
+    svc = ScoreModelService(str(path), steps=2, buckets=(2,))
+    assert svc.model.stem == "s2d"
+    x = svc.sample_conditions([1, 2], thetas=[0.1, 0.2], seed=0)
+    assert x.shape == (2, 16, 16, 1) and np.isfinite(np.asarray(x)).all()
+    # a stem=none service built from the same weights must refuse (shape
+    # mismatch), proving the config byte actually drives the architecture
+    bad = tmp_path / "bad.msgpack"
+    save_checkpoint(bad, {"epoch_next": 1, "state": state, "loss_hist": [0.1],
+                          "config": dict(CFG)})
+    with pytest.raises(Exception):
+        ScoreModelService(str(bad), steps=2,
+                          buckets=(2,)).sample_conditions([0], seed=0)

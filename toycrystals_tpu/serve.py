@@ -149,7 +149,7 @@ class ScoreModelService:
             cond_ch=int(cfg["cond_ch"]), time_ch=int(cfg["time_ch"]),
             dtype=jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32,
             conv_impl="int8" if quantize == "int8" else "pad",
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, stem=str(cfg.get("stem", "none")),
         )
         self.sde = VPSDE(
             beta_min=float(cfg.get("beta_min", 0.1)),
