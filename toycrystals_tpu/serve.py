@@ -17,7 +17,12 @@ The TPU-native shape of "serve this model" is a *resident service*:
 
 With a progressive-distilled student (``scripts/distill_sde_score_model.py``)
 the per-dispatch cost is 1-16 single-pass U-Net evals, i.e. low-ms latency
-and >8k img/s throughput on one v5e chip (``bench.py`` distilled fields).
+and >8k img/s *compiled-dispatch* throughput on one v5e chip (``bench.py``
+distilled fields). End-to-end HTTP throughput is host/link-bound on top of
+that: `benchmarks/run.py --only serving_sustained` measures it under
+sustained concurrent load, with the attribution (bucket ladder exonerated;
+this dev box's 1 vCPU + 20 MB/s tunneled D2H are the caps) in
+``benchmarks/NOTES.md`` "Sustained serving under load".
 
 ``scripts/serve_sde_score_model.py`` exposes this over HTTP.
 """
