@@ -29,6 +29,26 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
+def save_distilled_serve_ckpt(path: str, uparams) -> None:
+    """Write the synthetic 4-step distilled-student checkpoint that BOTH
+    serving sections (latency + sustained) serve — one definition so the
+    two benchmarks always measure the same model config."""
+    import optax
+
+    from toycrystals_tpu.train import create_train_state
+    from toycrystals_tpu.utils import save_checkpoint
+
+    cfg = {"img_ch": 1, "img_size": 64, "n_types": 4, "y_cont_dim": 4,
+           "base_ch": 96, "emb_dim": 128, "cond_ch": 8, "time_ch": 8,
+           "beta_min": 0.1, "beta_max": 30.0, "logsnr_shift": 0.0,
+           "t_power": 1.0, "p_uncond": 0.1, "dtype": "bfloat16",
+           "param": "v", "distilled": True, "distill_steps": 4,
+           "distill_t_end": 0.005, "distill_cfg": 1.5}
+    save_checkpoint(path, {"epoch_next": 0, "loss_hist": [],
+                           "state": create_train_state(uparams, optax.adam(1e-4)),
+                           "config": cfg})
+
+
 def timeit(fn, *args, repeats=3):
     """min wall seconds per call of fn, forcing completion each call.
 
@@ -233,20 +253,10 @@ def main() -> int:
         import tempfile
 
         from toycrystals_tpu.serve import MicroBatcher, ScoreModelService
-        from toycrystals_tpu.train import create_train_state as _cts
-        from toycrystals_tpu.utils import save_checkpoint as _save
 
-        scfg = {"img_ch": 1, "img_size": 64, "n_types": 4, "y_cont_dim": 4,
-                "base_ch": 96, "emb_dim": 128, "cond_ch": 8, "time_ch": 8,
-                "beta_min": 0.1, "beta_max": 30.0, "logsnr_shift": 0.0,
-                "t_power": 1.0, "p_uncond": 0.1, "dtype": "bfloat16",
-                "param": "v", "distilled": True, "distill_steps": 4,
-                "distill_t_end": 0.005, "distill_cfg": 1.5}
         with tempfile.TemporaryDirectory() as td:
             sp = str(Path(td) / "serve_bench.msgpack")
-            _save(sp, {"epoch_next": 0, "loss_hist": [],
-                       "state": _cts(uparams, optax.adam(1e-4)),
-                       "config": scfg})
+            save_distilled_serve_ckpt(sp, uparams)
             svc = ScoreModelService(sp, buckets=(1, 16, 64))
             svc.warmup()
             # batch-1 request latency (reproducible direct path)
@@ -299,23 +309,13 @@ def main() -> int:
         import threading
 
         from toycrystals_tpu.serve import ScoreModelService
-        from toycrystals_tpu.train import create_train_state as _cts
-        from toycrystals_tpu.utils import save_checkpoint as _save
 
         sys.path.insert(0, str(REPO / "scripts"))
         from serve_sde_score_model import make_server  # noqa: E402
 
-        scfg = {"img_ch": 1, "img_size": 64, "n_types": 4, "y_cont_dim": 4,
-                "base_ch": 96, "emb_dim": 128, "cond_ch": 8, "time_ch": 8,
-                "beta_min": 0.1, "beta_max": 30.0, "logsnr_shift": 0.0,
-                "t_power": 1.0, "p_uncond": 0.1, "dtype": "bfloat16",
-                "param": "v", "distilled": True, "distill_steps": 4,
-                "distill_t_end": 0.005, "distill_cfg": 1.5}
         with tempfile.TemporaryDirectory() as td:
             sp = str(Path(td) / "serve_sustained.msgpack")
-            _save(sp, {"epoch_next": 0, "loss_hist": [],
-                       "state": _cts(uparams, optax.adam(1e-4)),
-                       "config": scfg})
+            save_distilled_serve_ckpt(sp, uparams)
             svc = ScoreModelService(
                 sp, buckets=tuple(
                     int(v) for v in args.sustained_buckets.split(",")))

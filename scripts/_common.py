@@ -67,13 +67,15 @@ def infer_score_ckpt_path(out_dir: str, ckpt: str) -> str:
 def add_dist_flags(p) -> None:
     """--coordinator/--num-processes/--process-id: join a multi-process
     JAX cluster (parallel/multihost.py). On a TPU pod, launching the same
-    command on every host with these flags (or none at all — the TPU
-    runtime advertises the coordinator) turns every `--shard*` mesh into a
-    global one; exactly one process writes checkpoints/figures/metrics."""
+    command on every host with these flags (or `--coordinator auto` — the
+    TPU runtime advertises the coordinator) turns every `--shard*` mesh
+    into a global one; exactly one process writes ckpts/figures/metrics."""
     p.add_argument(
         "--coordinator", type=str, default=None,
         help="host:port of process 0 for jax.distributed (multi-host "
-             "runs). Omit everywhere for single-process (the default).")
+             "runs), or 'auto' to let jax.distributed.initialize() "
+             "discover the cluster from the environment (TPU pod / SLURM). "
+             "Omit everywhere for single-process (the default).")
     p.add_argument(
         "--num-processes", type=int, default=None,
         help="Total number of processes in the cluster.")

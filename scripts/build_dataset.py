@@ -46,6 +46,12 @@ def main() -> int:
     args = p.parse_args()
     if args.format is None:
         args.format = "pt" if args.out.endswith(".pt") else "npz"
+    if args.format == "pt":
+        # fail in milliseconds, not after minutes of on-device generation
+        try:
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise SystemExit(f"--format pt needs torch installed: {e}")
     select_device(args.device)
 
     import jax.numpy as jnp

@@ -270,11 +270,9 @@ def main() -> int:
         clip_x0=bool(args.clip_x0), **sp_kw, **extra_kw,
     )
     if multihost:
-        # every process computed its shard; gather so process 0 holds the
-        # full grid, then write once (parallel/multihost.py conventions)
-        from jax.experimental import multihost_utils
-
-        x = multihost_utils.process_allgather(x, tiled=True)
+        # sample_chunked already allgathers sharded chunks to every process
+        # (a second host-side gather here would tile duplicate copies);
+        # only process 0 writes (parallel/multihost.py conventions)
         if jax.process_index() != 0:
             return 0
     side = int(math.ceil(math.sqrt(args.n)))

@@ -115,7 +115,15 @@ def main() -> int:
                         "epoch); 0 disables in-training grids")
     add_dist_flags(p)
     args = p.parse_args()
-    init_distributed(args)
+    multihost = init_distributed(args)
+    if multihost and (args.fsdp or getattr(args, "shard_model", 0) > 1):
+        # msgpack-only checkpoints: the save gathers the full state to one
+        # host, impossible under fsdp/tp sharding (same refusal as the SDE
+        # trainer's msgpack path)
+        raise SystemExit("multi-host --fsdp/--shard-model is unsupported in "
+                         "this trainer (msgpack checkpoints gather "
+                         "non-addressable arrays); drop the flag or train "
+                         "single-host")
     select_device(args.device)
 
     import flax.serialization as ser

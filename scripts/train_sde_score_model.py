@@ -605,12 +605,8 @@ def main() -> int:
             t_end=args.t_end, n_types=args.n_types,
             clip_x0=bool(args.clip_x0), **grid_kw, **sp_kw,
         )
-        if multihost:
-            # every process computed its shard of the grid; gather the full
-            # batch to the host so the primary can write the png
-            from jax.experimental import multihost_utils
-
-            x = multihost_utils.process_allgather(x, tiled=True)
+        # sample_chunked allgathers sharded chunks to every process, so x
+        # is always the full host-resident grid here; primary writes once.
         if primary:
             save_image_grid(
                 x, out_path,
@@ -730,7 +726,8 @@ def main() -> int:
                 try:
                     save_samples(out_path, state)
                     sample_grid_ok = True
-                    print(f"  saved: {out_path}")
+                    if primary:
+                        print(f"  saved: {out_path}")
                 except Exception as e:  # noqa: BLE001
                     if not sample_grid_ok:
                         raise

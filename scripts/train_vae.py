@@ -81,7 +81,17 @@ def main() -> int:
     add_dist_flags(p)
     p.set_defaults(uncond=False)
     args = p.parse_args()
-    init_distributed(args)
+    multihost = init_distributed(args)
+    if multihost and (args.fsdp or getattr(args, "shard_model", 0) > 1):
+        # this trainer checkpoints msgpack-only: the save gathers the full
+        # state to one host, impossible when fsdp/tp leave each process
+        # holding only its own shards (same refusal as the SDE trainer's
+        # msgpack path; use the SDE trainer's --ckpt-format orbax for
+        # multi-host sharded-state training)
+        raise SystemExit("multi-host --fsdp/--shard-model is unsupported in "
+                         "this trainer (msgpack checkpoints gather "
+                         "non-addressable arrays); drop the flag or train "
+                         "single-host")
     select_device(args.device)
 
     import jax

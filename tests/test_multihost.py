@@ -23,6 +23,7 @@ import os
 import socket
 import subprocess
 import sys
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -89,10 +90,25 @@ def _run_cluster(tmp_path, out_dir: str, extra: list[str], n_proc: int = 2,
             cmd, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         ))
-    outs = []
-    for pr in procs:
-        out, _ = pr.communicate(timeout=600)
-        outs.append(out)
+    # drain every worker's pipe concurrently: a sequential communicate()
+    # would deadlock if a LATER worker fills its 64KB pipe buffer (it blocks
+    # on write, the first worker blocks on it in a collective, and the
+    # timeout fires as a 600s hang instead of a clean failure)
+    outs: list[str | None] = [None] * len(procs)
+
+    def _drain(i, pr):
+        try:
+            outs[i], _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            outs[i], _ = pr.communicate()
+
+    threads = [threading.Thread(target=_drain, args=(i, pr))
+               for i, pr in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     for pr, out in zip(procs, outs):
         assert pr.returncode == expect_rc, \
             f"worker rc={pr.returncode} (expected {expect_rc})\n{out[-4000:]}"
@@ -151,6 +167,21 @@ def test_two_process_resume(tmp_path):
     losses_b = _losses(out)
     assert len(losses_a) == 2 and len(losses_b) == 3
     assert losses_b[:2] == losses_a  # metrics truncated/continued, not doubled
+
+
+@pytest.mark.slow
+def test_two_process_in_training_sample_grid(tmp_path):
+    """The in-training sample grid under a 2-process mesh: the sampler
+    output is batch-sharded across processes, sample_chunked must allgather
+    (a naive device_get raises on non-addressable shards) and only process
+    0 writes the png — with the full 36-tile grid, not duplicated copies."""
+    out = tmp_path / "sampled"
+    _run_cluster(tmp_path, str(out),
+                 ["--sample-every", "2", "--sample-steps", "2",
+                  "--base-ch", "16"])
+    pngs = sorted((out / "results").glob("sde_samples_epoch_*.png"))
+    assert pngs, "primary wrote no in-training grid"
+    assert len(_losses(out)) == 2
 
 
 @pytest.mark.slow

@@ -970,7 +970,21 @@ def sample_chunked(
             apply_fn, params, sde, yc, yv, (chunk, h, w, c),
             jax.random.fold_in(key, i0), **kw, **bkw,
         )
-        outs.append(np.asarray(jax.device_get(x))[:take])
+        if not getattr(x, "is_fully_addressable", True):
+            # Multi-process mesh: the chunk is batch-sharded across hosts
+            # and device_get would raise on the non-addressable shards.
+            # process_allgather on a global non-addressable jax.Array
+            # returns the FULL value, replicated to every process (it
+            # requires tiled=True for global arrays but does NOT re-tile
+            # them — the global shape comes back as-is), so every process
+            # returns the complete grid and the callers' process-0 write
+            # gating needs no further gather.
+            from jax.experimental import multihost_utils
+
+            xh = multihost_utils.process_allgather(x, tiled=True)
+        else:
+            xh = jax.device_get(x)
+        outs.append(np.asarray(xh)[:take])
     return np.concatenate(outs, axis=0)
 
 

@@ -18,9 +18,9 @@ host — the JAX multi-controller model:
   already write cooperatively from every process, utils/orbax_io.py).
 
 Initialization is explicit (CLI `--coordinator/--num-processes/
---process-id`, scripts/_common.py add_dist_flags) or automatic on TPU pods
-(the TPU runtime env advertises the coordinator; `initialize()` with no
-args picks it up). The flagship data path — on-device procedural datagen
+--process-id`, scripts/_common.py add_dist_flags) or, with
+`--coordinator auto`, discovered from the runtime environment on TPU
+pods / SLURM (`jax.distributed.initialize()` with no args). The flagship data path — on-device procedural datagen
 inside the fused-epoch program — needs NO per-process partitioning: the
 datagen is itself sharded by GSPMD, so each host's chips render exactly
 their batch shard. Disk archives ride `global_batch` below.
@@ -48,9 +48,11 @@ def maybe_initialize(coordinator: str | None = None,
 
     - explicit flags (`--coordinator localhost:1234 --num-processes 2
       --process-id 0`): CPU/GPU clusters and tests;
-    - no flags on a TPU pod: `jax.distributed.initialize()` auto-detects
-      the coordinator from the TPU runtime environment;
-    - no flags elsewhere: no-op (single-process, the default everywhere).
+    - `coordinator="auto"` on a TPU pod (or SLURM/GKE):
+      `jax.distributed.initialize()` with no arguments auto-detects the
+      coordinator from the runtime environment;
+    - no flags: no-op (single-process, the default everywhere — an
+      unconditional auto-init would raise on plain single-host boxes).
 
     Must run before the first device query (jax.devices() pins backends).
     Returns True when running multi-process.
@@ -62,6 +64,12 @@ def maybe_initialize(coordinator: str | None = None,
         return False
     if num_processes is not None and num_processes <= 1:
         return False
+    if coordinator == "auto":
+        # cluster-environment auto-detection (TPU pod / SLURM / GKE):
+        # jax fills coordinator/num_processes/process_id itself
+        jax.distributed.initialize()
+        _initialized = True
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,
