@@ -98,6 +98,11 @@ def main() -> int:
     p.add_argument("--sustained-buckets", type=str, default="1,256,1024",
                    help="serving_sustained: compiled batch-bucket ladder "
                         "(comma list; shrink on CPU)")
+    p.add_argument("--sustained-dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="serving_sustained: service output dtype — uint8 "
+                        "quantizes on device (4x smaller D2H pulls + npy "
+                        "bodies); result stored as serving_sustained_u8")
     args = p.parse_args()
     only = {s for s in args.only.split(",") if s}
     sections = {"sde", "ode", "dpm", "rf", "fewstep", "serving",
@@ -317,7 +322,7 @@ def main() -> int:
             sp = str(Path(td) / "serve_sustained.msgpack")
             save_distilled_serve_ckpt(sp, uparams)
             svc = ScoreModelService(
-                sp, buckets=tuple(
+                sp, out_dtype=args.sustained_dtype, buckets=tuple(
                     int(v) for v in args.sustained_buckets.split(",")))
             svc.warmup()
 
@@ -407,7 +412,10 @@ def main() -> int:
             lat.sort()
             d_disp = stats1["dispatches"] - stats0["dispatches"]
             d_imgs = stats1["images"] - stats0["images"]
-            results["serving_sustained"] = {
+            sus_key = ("serving_sustained" if args.sustained_dtype == "float32"
+                       else "serving_sustained_u8")
+            results[sus_key] = {
+                "out_dtype": args.sustained_dtype,
                 "clients": args.sustained_clients,
                 "window_s": round(window_dt, 1),
                 "img_per_sec": round(done_imgs[0] / window_dt, 1),

@@ -17,8 +17,9 @@ Endpoints (JSON in, JSON or PNG out):
                             "seed": optional int}
                            png = matplotlib figure grid (committed-figure
                            convention); png_raw = direct-pixel grid, ms
-                           instead of hundreds of ms; npy = raw float32
-                           array blob for programmatic consumers
+                           instead of hundreds of ms; npy = raw array blob
+                           for programmatic consumers (float32 [0,1], or
+                           uint8 [0,255] under --out-dtype uint8)
   GET  /sample?type=0&theta=0.0&n=36&format=png      convenience form
 
 Requests WITHOUT an explicit seed go through the MicroBatcher (coalesced,
@@ -206,6 +207,12 @@ def main(argv=None) -> int:
     p.add_argument("--quantize", default="none", choices=["none", "int8"],
                    help="int8: dynamic-quantized convs on the MXU's 2x-rate "
                         "int8 path (post-training; any float ckpt serves)")
+    p.add_argument("--out-dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="uint8: quantize samples to u8 INSIDE the compiled "
+                        "program (png_raw-identical rounding) — 4x smaller "
+                        "device pulls and npy/json bodies; npy consumers "
+                        "get uint8 [0,255] back (divide by 255)")
     p.add_argument("--no-ema", action="store_true", help="serve raw params")
     p.add_argument("--buckets", default="1,4,16,64",
                    help="compiled batch-shape ladder (comma-separated)")
@@ -227,6 +234,7 @@ def main(argv=None) -> int:
         steps=args.steps, guidance_scale=args.guidance_scale,
         t_end=args.t_end, clip_x0=args.clip_x0, dtype=args.dtype,
         attn_impl=args.attn_impl, quantize=args.quantize,
+        out_dtype=args.out_dtype,
         buckets=[int(b) for b in args.buckets.split(",")], mesh=mesh)
     print(f"model: {service.describe()}")
     print(f"serving: sampler={service.sampler_name} steps={service.steps} "

@@ -116,14 +116,17 @@ def main() -> int:
     add_dist_flags(p)
     args = p.parse_args()
     multihost = init_distributed(args)
-    if multihost and (args.fsdp or getattr(args, "shard_model", 0) > 1):
+    if multihost and (args.fsdp or getattr(args, "shard_model", 0) > 1
+                      or getattr(args, "shard_pipe", 0) > 1
+                      or getattr(args, "shard_expert", 0) > 1):
         # msgpack-only checkpoints: the save gathers the full state to one
-        # host, impossible under fsdp/tp sharding (same refusal as the SDE
-        # trainer's msgpack path)
-        raise SystemExit("multi-host --fsdp/--shard-model is unsupported in "
-                         "this trainer (msgpack checkpoints gather "
-                         "non-addressable arrays); drop the flag or train "
-                         "single-host")
+        # host, impossible under any weight-sharding axis (fsdp/tp, and
+        # equally pipe stages / expert slices) when the axis spans
+        # processes (same refusal as the SDE trainer's msgpack path)
+        raise SystemExit("multi-host --fsdp/--shard-model/--shard-pipe/"
+                         "--shard-expert is unsupported in this trainer "
+                         "(msgpack checkpoints gather non-addressable "
+                         "arrays); drop the flag or train single-host")
     select_device(args.device)
 
     import flax.serialization as ser

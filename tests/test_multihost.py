@@ -111,7 +111,7 @@ def _run_cluster(tmp_path, out_dir: str, extra: list[str], n_proc: int = 2,
         t.join()
     for pr, out in zip(procs, outs):
         assert pr.returncode == expect_rc, \
-            f"worker rc={pr.returncode} (expected {expect_rc})\n{out[-4000:]}"
+            f"worker rc={pr.returncode} (expected {expect_rc})\n{(out or '')[-4000:]}"
     return outs
 
 
@@ -181,6 +181,13 @@ def test_two_process_in_training_sample_grid(tmp_path):
                   "--base-ch", "16"])
     pngs = sorted((out / "results").glob("sde_samples_epoch_*.png"))
     assert pngs, "primary wrote no in-training grid"
+    # the 6x6 grid figure is square (figsize=(ncols, nrows)); the pre-fix
+    # double-gather bug produced a doubled 72-tile layout, which renders
+    # non-square — check the pixels, not just existence
+    import matplotlib.pyplot as plt
+    img = plt.imread(pngs[-1])
+    assert img.shape[0] == img.shape[1], \
+        f"grid png is {img.shape[1]}x{img.shape[0]} — not the square 6x6 layout"
     assert len(_losses(out)) == 2
 
 

@@ -111,6 +111,35 @@ def test_quantized_serving(ckpts):
         ScoreModelService(plain, quantize="int4")
 
 
+def test_uint8_output_serving(ckpts):
+    """out_dtype="uint8" quantizes INSIDE the compiled program: the service
+    returns uint8 [0,255] that is exactly the png_raw rounding of the f32
+    service's samples (same seed), stats report it, and every encoder
+    accepts the u8 array (png_raw bit-identical to the f32 path's png)."""
+    import io
+
+    from toycrystals_tpu.serve import grid_png_bytes, npy_bytes, raw_png_bytes
+
+    plain, _ = ckpts
+    svc_f = ScoreModelService(plain, steps=2, buckets=(2,))
+    svc_u = ScoreModelService(plain, steps=2, buckets=(2,), out_dtype="uint8")
+    assert svc_u.stats["out_dtype"] == "uint8"
+    xf = svc_f.sample_conditions([0, 1], thetas=[0.0, 0.2], seed=3)
+    xu = svc_u.sample_conditions([0, 1], thetas=[0.0, 0.2], seed=3)
+    assert xu.dtype == np.uint8 and xu.shape == xf.shape
+    want = np.clip(xf * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(xu, want)
+
+    assert raw_png_bytes(xu) == raw_png_bytes(xf)
+    back = np.load(io.BytesIO(npy_bytes(xu)))
+    assert back.dtype == np.uint8
+    np.testing.assert_array_equal(back, xu)
+    assert grid_png_bytes(xu)[:8] == b"\x89PNG\r\n\x1a\n"
+
+    with pytest.raises(ValueError):
+        ScoreModelService(plain, out_dtype="int16")
+
+
 def test_bucket_ladder_mesh_rounding(ckpts):
     plain, _ = ckpts
     from toycrystals_tpu.parallel import make_mesh

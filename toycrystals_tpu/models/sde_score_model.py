@@ -974,9 +974,9 @@ def sample_chunked(
             # Multi-process mesh: the chunk is batch-sharded across hosts
             # and device_get would raise on the non-addressable shards.
             # process_allgather on a global non-addressable jax.Array
-            # returns the FULL value, replicated to every process (it
-            # requires tiled=True for global arrays but does NOT re-tile
-            # them — the global shape comes back as-is), so every process
+            # returns the FULL value, replicated to every process (for
+            # global arrays the `tiled` argument is ignored — no re-tiling
+            # happens; the global shape comes back as-is), so every process
             # returns the complete grid and the callers' process-0 write
             # gating needs no further gather.
             from jax.experimental import multihost_utils

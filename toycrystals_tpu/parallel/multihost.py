@@ -62,6 +62,15 @@ def maybe_initialize(coordinator: str | None = None,
         return jax.process_count() > 1
     if coordinator is None and num_processes is None and process_id is None:
         return False
+    if coordinator == "auto" and (num_processes is not None
+                                  or process_id is not None):
+        # auto detects num_processes/process_id from the cluster
+        # environment; explicit values would be silently ignored (or, for
+        # --num-processes 1, silently disable distribution) — refuse instead
+        raise SystemExit(
+            "--coordinator auto detects num_processes/process_id from "
+            "the cluster environment; do not also pass "
+            "--num-processes/--process-id")
     if num_processes is not None and num_processes <= 1:
         return False
     if coordinator == "auto":

@@ -81,6 +81,7 @@ class ScoreModelService:
         dtype: str = "auto",
         attn_impl: str = "auto",
         quantize: str = "none",
+        out_dtype: str = "float32",
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         mesh=None,
     ):
@@ -202,6 +203,26 @@ class ScoreModelService:
             "rf": sample_rectified_flow,
         }[self.sampler_name]
 
+        if out_dtype not in ("float32", "uint8"):
+            raise ValueError(
+                f"out_dtype must be 'float32' or 'uint8', got {out_dtype!r}")
+        self.out_dtype = str(out_dtype)
+        if out_dtype == "uint8":
+            # Quantize INSIDE the compiled program: the D2H pull (and any
+            # image-format HTTP body) shrinks 4x — on the tunneled link the
+            # f32 pull is the measured end-to-end cap for image-returning
+            # paths (benchmarks/NOTES.md "Sustained serving under load":
+            # 4.2 MB/dispatch at the 1024 bucket bounds ~1,200 img/s; u8
+            # lifts the link ceiling ~4x). Same rounding as the png_raw
+            # encoder, which is already the scoring-proven lossless path.
+            inner = self._sampler_fn
+
+            def _quantized(apply_fn, params, sde, yc, yv, shape, key, **kw):
+                x = inner(apply_fn, params, sde, yc, yv, shape, key, **kw)
+                return jnp.clip(x * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+            self._sampler_fn = _quantized
+
         cap = auto_chunk(self.img_size, self.steps, self.sampler_name)
         mult = int(dict(mesh.shape).get("data", mesh.devices.size)) if mesh is not None else 1
         ladder = sorted({max(1, min(int(b), cap)) for b in buckets})
@@ -224,7 +245,8 @@ class ScoreModelService:
                  steps=self.steps, guidance_scale=self.guidance_scale,
                  t_end=self.t_end, img_size=self.img_size,
                  distilled=bool(self.config.get("distilled")),
-                 quantize=self.quantize, ckpt=self.ckpt_path)
+                 quantize=self.quantize, out_dtype=self.out_dtype,
+                 ckpt=self.ckpt_path)
         return s
 
     def describe(self) -> dict[str, Any]:
@@ -311,7 +333,9 @@ class ScoreModelService:
         return run
 
     def sample(self, y_cat, y_cont, *, seed: int = 0) -> np.ndarray:
-        """Sample one image per condition row; returns (n, H, W, 1) in [0,1].
+        """Sample one image per condition row; returns (n, H, W, 1) —
+        float32 in [0,1], or uint8 in [0,255] when the service was built
+        with ``out_dtype="uint8"`` (quantized on device; divide by 255).
 
         The request is padded to the nearest bucket (trimmed after); requests
         beyond the top bucket run in top-bucket chunks. Deterministic given
@@ -336,7 +360,10 @@ class ScoreModelService:
                 x = self._bucket_executable(bucket)(
                     self.params, yc, yv, np.uint32(seed))
             self._count(n, 1)
-            return np.asarray(x, np.float32)[:n]
+            x = np.asarray(x)
+            if x.dtype != np.uint8:  # bf16-model outputs still serve as f32
+                x = x.astype(np.float32, copy=False)
+            return x[:n]
 
         import jax
 
@@ -357,7 +384,10 @@ class ScoreModelService:
                 **sp_kw, **self._extra_kw,
             )
         self._count(n, -(-n // bucket))
-        return np.asarray(x, np.float32)
+        x = np.asarray(x)
+        if x.dtype != np.uint8:
+            x = x.astype(np.float32, copy=False)
+        return x
 
     def _count(self, images: int, dispatches: int) -> None:
         with self._stats_lock:
@@ -477,6 +507,9 @@ def grid_png_bytes(x: np.ndarray, title: str | None = None) -> bytes:
 
     from toycrystals_tpu.utils.figures import save_image_grid
 
+    x = np.asarray(x)
+    if x.dtype == np.uint8:  # device-quantized service output
+        x = x.astype(np.float32) / 255.0
     side = int(math.ceil(math.sqrt(x.shape[0])))
     buf = io.BytesIO()
     save_image_grid(x, buf, nrows=side, ncols=side, suptitle=title)
@@ -499,7 +532,10 @@ def raw_png_bytes(x: np.ndarray, ncols: int | None = None, pad: int = 2,
     import struct
     import zlib
 
-    x = np.asarray(x, np.float32)
+    x = np.asarray(x)
+    u8_in = x.dtype == np.uint8
+    if not u8_in:
+        x = np.asarray(x, np.float32)
     if x.ndim == 4:
         x = x[..., 0]
     if x.ndim == 2:
@@ -508,12 +544,17 @@ def raw_png_bytes(x: np.ndarray, ncols: int | None = None, pad: int = 2,
     nc = int(ncols) if ncols else int(math.ceil(math.sqrt(n)))
     nr = -(-n // nc)
     canvas = np.full((nr * (h + pad) + pad, nc * (w + pad) + pad),
-                     pad_value, np.float32)
+                     np.uint8(round(pad_value * 255.0)) if u8_in else pad_value,
+                     np.uint8 if u8_in else np.float32)
     for i in range(n):
         r, c = divmod(i, nc)
         canvas[pad + r * (h + pad):pad + r * (h + pad) + h,
                pad + c * (w + pad):pad + c * (w + pad) + w] = x[i]
-    u8 = np.clip(canvas * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+    # a uint8 input (out_dtype="uint8" service) used the SAME rounding on
+    # device, so the pixels pass through untouched — bit-identical png to
+    # the f32 path's
+    u8 = canvas if u8_in else np.clip(
+        canvas * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
     hh, ww = u8.shape
     # one filter byte (0 = None) per scanline, then the row
     scan = np.concatenate([np.zeros((hh, 1), np.uint8), u8], axis=1).tobytes()
@@ -529,10 +570,15 @@ def raw_png_bytes(x: np.ndarray, ncols: int | None = None, pad: int = 2,
 
 def npy_bytes(x: np.ndarray) -> bytes:
     """Samples as a raw ``.npy`` blob — the zero-parse path for programmatic
-    consumers (`np.load(io.BytesIO(body))` gives the (n, H, W, 1) float32
-    array back bit-exact; the JSON format decimal-prints every pixel)."""
+    consumers (`np.load(io.BytesIO(body))` gives the (n, H, W, 1) array back
+    bit-exact; the JSON format decimal-prints every pixel). A float32
+    service serves float32 in [0,1]; an ``out_dtype="uint8"`` service
+    serves uint8 in [0,255] (divide by 255) — 4x fewer bytes end to end."""
     import io
 
+    x = np.asarray(x)
+    if x.dtype != np.uint8:
+        x = np.asarray(x, np.float32)
     buf = io.BytesIO()
-    np.save(buf, np.asarray(x, np.float32))
+    np.save(buf, x)
     return buf.getvalue()
