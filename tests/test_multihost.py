@@ -39,6 +39,17 @@ os.environ["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_co
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+# share compiled executables across workers / launches (both processes of a
+# cluster trace the SAME global program, and the single-process parity run
+# re-traces it) — on the 1-vCPU CI box compile time dominates these tests
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("TOYCRYSTALS_TEST_CACHE",
+                                     "/tmp/toycrystals_cpu_test_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
 import runpy
 sys.argv = [sys.argv[1]] + sys.argv[2:]
 sys.path.insert(0, os.path.dirname(sys.argv[0]))  # scripts/ for _common
@@ -66,10 +77,13 @@ def _free_port() -> int:
 
 
 def _train_args(out_dir: str, extra: list[str]) -> list[str]:
+    # base_ch 16: the default 96-ch U-Net costs minutes of CPU compile per
+    # worker and proves nothing extra about the multi-process path
     return [
         str(REPO / "scripts" / "train_sde_score_model.py"),
         "--device", "cpu", "--procedural", "--img-size", "16",
         "--n-samples", "64", "--batch-size", "16", "--epochs", "2",
+        "--base-ch", "16", "--emb-dim", "32",
         "--shard", "8", "--sample-every", "0", "--seed", "3",
         "--ema-decay", "0.999", "--out-dir", out_dir,
     ] + extra
@@ -132,17 +146,21 @@ def _losses(out_dir: Path) -> list[float]:
 
 
 @pytest.mark.slow
-def test_two_process_cluster_matches_single_process(tmp_path):
-    """2-process x 4-device cluster == 1-process x 8-device run, bitwise
-    same program: per-epoch losses agree and only process 0 writes."""
-    multi_dir = tmp_path / "multi"
-    single_dir = tmp_path / "single"
-    outs = _run_cluster(tmp_path, str(multi_dir), [])
-    _run_single(tmp_path, str(single_dir), [])
+def test_two_process_cluster_end_to_end(tmp_path):
+    """ONE shared config through three launches (each worker pays a full
+    jax import + compile on this 1-vCPU box, so the former
+    parity/resume/grid tests are folded into one flow without losing any
+    assertion):
 
-    l_multi, l_single = _losses(multi_dir), _losses(single_dir)
-    assert len(l_multi) == len(l_single) == 2
-    np.testing.assert_allclose(l_multi, l_single, rtol=2e-5)
+    1. 2-process x 4-device cluster, fresh-data, in-training grid at epoch
+       2 — cluster join, process-0 write gating, sharded-sampler allgather;
+    2. --resume of the same run to epoch 3 — restore on every process,
+       metrics continued not doubled;
+    3. 1-process x 8-device run of the identical config — per-epoch loss
+       parity (GSPMD compiles the same global program either way)."""
+    multi_dir = tmp_path / "multi"
+    cfg = ["--fresh-data", "--sample-every", "2", "--sample-steps", "2"]
+    outs = _run_cluster(tmp_path, str(multi_dir), cfg)
 
     # the cluster joined: both workers reported global device counts
     assert any("4 local / 8 global devices" in o for o in outs)
@@ -155,31 +173,10 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     assert "epoch 001/2" in p0
     assert "epoch 001/2" not in p1  # non-primary stays quiet
 
-
-@pytest.mark.slow
-def test_two_process_resume(tmp_path):
-    """--resume across a 2-process cluster restores on every process and
-    continues with fresh-data offsets intact."""
-    out = tmp_path / "resumed"
-    _run_cluster(tmp_path, str(out), ["--fresh-data"])
-    losses_a = _losses(out)
-    _run_cluster(tmp_path, str(out), ["--fresh-data", "--resume", "--epochs", "3"])
-    losses_b = _losses(out)
-    assert len(losses_a) == 2 and len(losses_b) == 3
-    assert losses_b[:2] == losses_a  # metrics truncated/continued, not doubled
-
-
-@pytest.mark.slow
-def test_two_process_in_training_sample_grid(tmp_path):
-    """The in-training sample grid under a 2-process mesh: the sampler
-    output is batch-sharded across processes, sample_chunked must allgather
-    (a naive device_get raises on non-addressable shards) and only process
-    0 writes the png — with the full 36-tile grid, not duplicated copies."""
-    out = tmp_path / "sampled"
-    _run_cluster(tmp_path, str(out),
-                 ["--sample-every", "2", "--sample-steps", "2",
-                  "--base-ch", "16"])
-    pngs = sorted((out / "results").glob("sde_samples_epoch_*.png"))
+    # in-training grid: the sampler output is batch-sharded across
+    # processes, sample_chunked must allgather (a naive device_get raises
+    # on non-addressable shards) and only process 0 writes the png
+    pngs = sorted((multi_dir / "results").glob("sde_samples_epoch_*.png"))
     assert pngs, "primary wrote no in-training grid"
     # the 6x6 grid figure is square (figsize=(ncols, nrows)); the pre-fix
     # double-gather bug produced a doubled 72-tile layout, which renders
@@ -188,7 +185,23 @@ def test_two_process_in_training_sample_grid(tmp_path):
     img = plt.imread(pngs[-1])
     assert img.shape[0] == img.shape[1], \
         f"grid png is {img.shape[1]}x{img.shape[0]} — not the square 6x6 layout"
-    assert len(_losses(out)) == 2
+    losses_a = _losses(multi_dir)
+    assert len(losses_a) == 2
+
+    # --resume across the cluster: restores on every process and continues
+    # with fresh-data offsets intact
+    _run_cluster(tmp_path, str(multi_dir),
+                 cfg + ["--resume", "--epochs", "3", "--sample-every", "0"])
+    losses_b = _losses(multi_dir)
+    assert len(losses_b) == 3
+    assert losses_b[:2] == losses_a  # metrics truncated/continued, not doubled
+
+    # single-process parity: same seed, same config, same global program
+    single_dir = tmp_path / "single"
+    _run_single(tmp_path, str(single_dir), cfg)
+    l_single = _losses(single_dir)
+    assert len(l_single) == 2
+    np.testing.assert_allclose(losses_a, l_single, rtol=2e-5)
 
 
 @pytest.mark.slow
