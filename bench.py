@@ -198,6 +198,42 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — context fields are best-effort
         print(f"int8-path context unavailable: {e}", file=sys.stderr)
 
+    # Space-to-depth stem (CondUNetTiny(stem="s2d"), trainer --stem s2d):
+    # the tpu-first architecture lever — the whole trunk runs an octave
+    # lower (3.83x FLOP cut, deeper MXU contractions). Throughput is
+    # weight-independent; sample QUALITY of a trained s2d model is the
+    # scored grid in assets/FIGURES.md (benchmarks/NOTES.md "Space-to-depth
+    # stem") — the headline stays on the reference-parity architecture.
+    s2d_field = {}
+    try:
+        unet_s2d = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
+                                emb_dim=128, dtype=dtype, stem="s2d")
+        params_s2d = unet_s2d.init(
+            jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
+        )["params"]
+
+        def apply_s2d(prm, xt, t, yc, yv):
+            return unet_s2d.apply({"params": prm}, xt, t, yc, yv)
+
+        def run_s2d(key):
+            return checksum(sample_reverse_sde_euler_maruyama(
+                apply_s2d, params_s2d, sde, y_cat, y_cont, (b, 64, 64, 1),
+                key, n_steps=args.steps, guidance_scale=args.cfg,
+                t_end=args.t_end))
+
+        jax.device_get(run_s2d(jax.random.key(0)))  # compile + warmup
+        sts = []
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            jax.device_get(run_s2d(jax.random.key(i + 1)))
+            sts.append(time.perf_counter() - t0)
+        s2d_field["s2d_stem_img_s"] = round(b / min(sts), 1)
+        print(f"s2d-stem sampler: {b / min(sts):.1f} img/s (batch {b})",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — context fields are best-effort
+        print(f"s2d-stem context unavailable: {e}", file=sys.stderr)
+
     # Distilled serving path (scripts/distill_sde_score_model.py): N
     # single-pass DDIM evals per image, guidance baked in — the one lever
     # that moves throughput PAST the 602-eval speed of light by removing
@@ -265,6 +301,7 @@ def main() -> int:
         "mfu": round(mfu, 3) if mfu else None,
         "vs_sol": round(ips / sol, 3) if sol else None,
         **int8_field,
+        **s2d_field,
         **distilled,
         "note": "5000 img/s target is ~100x above single-chip speed of light "
                 "at 602 U-Net evals/sample; the distilled_*step fields are "

@@ -69,13 +69,16 @@ def main() -> int:
     p.add_argument("--y-cont-dim", type=int, default=4)
     p.add_argument("--base-ch", type=int, default=96)
     p.add_argument("--emb-dim", type=int, default=128)
-    p.add_argument("--stem", type=str, default=None, choices=["none", "s2d"],
+    p.add_argument("--stem", type=str, default=None,
+                   choices=["none", "s2d", "s2dr"],
                    help="U-Net stem: 's2d' folds 2x2 patches into channels at "
                         "input (whole trunk one octave lower, ~3.8x fewer "
-                        "FLOPs, +4.6pt MFU — benchmarks/NOTES.md). Changes "
-                        "the architecture; checkpoints are not "
-                        "interchangeable with stem=none. Default: none, or "
-                        "the checkpoint's stem on --resume.")
+                        "FLOPs, +4.6pt MFU — benchmarks/NOTES.md); 's2dr' "
+                        "adds a ~1%%-FLOP full-res residual refinement head "
+                        "that restores the high-frequency detail plain s2d "
+                        "loses. Changes the architecture; checkpoints are "
+                        "not interchangeable across stems. Default: none, "
+                        "or the checkpoint's stem on --resume.")
     p.add_argument("--cond-ch", type=int, default=8)
     p.add_argument("--time-ch", type=int, default=8)
 

@@ -163,3 +163,42 @@ def test_s2d_stem_shapes_and_roundtrip():
         m.apply({"params": p}, xi, t, yc, yv) ** 2))(params)
     gn = np.asarray(jnp.linalg.norm(g["down1"]["conv0"]["kernel"]))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_s2dr_stem_refinement_head():
+    """stem="s2dr": the s2d trunk plus a full-res residual refinement head —
+    same output contract, refine convs exist at full resolution (refine1
+    sees depth-to-space output + the 17-ch pre-fold input), gradients flow
+    through BOTH the trunk and the refinement path, and the refined output
+    differs from the plain-s2d path of the same trunk params."""
+    import jax.numpy as jnp
+
+    from toycrystals_tpu.models import CondUNetTiny
+
+    m = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=16, emb_dim=32,
+                     stem="s2dr")
+    xi = jax.random.normal(jax.random.key(1), (2, 32, 32, 1))
+    t = jnp.array([0.2, 0.8])
+    yc = jnp.array([0, 1], jnp.int32)
+    yv = jax.random.normal(jax.random.key(2), (2, 4))
+    params = m.init(K, xi, t, yc, yv)["params"]
+    out = m.apply({"params": params}, xi, t, yc, yv)
+    assert out.shape == (2, 32, 32, 1)
+    assert out.dtype == jnp.float32
+    # refine1 contracts [eps(1) + x_t(1) + time(8) + cond(8)] = 18 channels
+    assert params["refine1"]["kernel"].shape[2] == 18
+    assert params["refine2"]["kernel"].shape[3] == 1
+
+    g = jax.grad(lambda p: jnp.sum(
+        m.apply({"params": p}, xi, t, yc, yv) ** 2))(params)
+    for name in ("down1", "refine1", "refine2"):
+        gn = np.asarray(jnp.linalg.norm(
+            jax.tree.leaves(g[name])[0].astype(jnp.float32)))
+        assert np.isfinite(gn) and gn > 0, name
+
+    # residual head actually changes the prediction vs zeroing it out
+    import jax as _jax
+    p0 = _jax.tree.map(lambda a: a, params)
+    p0["refine2"] = _jax.tree.map(jnp.zeros_like, p0["refine2"])
+    out0 = m.apply({"params": p0}, xi, t, yc, yv)
+    assert float(jnp.abs(out - out0).max()) > 0

@@ -164,7 +164,14 @@ class CondUNetTiny(nn.Module):
     # op-level profile (benchmarks/NOTES.md): the first convs see 4x the
     # contraction dim. Changes the architecture (skips/attention sit one
     # octave lower), so checkpoints are not interchangeable with stem="none".
-    stem: str = "none"  # "none" | "s2d"
+    # "s2dr": s2d trunk + a full-resolution residual refinement head — the
+    # depth-to-space output's 2x2 sub-pixel phases all come from the same
+    # half-grid feature, which costs high-frequency detail (measured: theta
+    # MAE 1.37->2.78 deg, fidelity 0.891->0.767 at the committed recipe —
+    # benchmarks/NOTES.md "Space-to-depth stem"); two cheap full-res convs
+    # (~1% of model FLOPs) see the raw x_t + t/cond maps and correct the
+    # local phase: out + conv(silu(conv([out, x_full]))).
+    stem: str = "none"  # "none" | "s2d" | "s2dr"
 
     @nn.compact
     def __call__(self, x_t: jax.Array, t: jax.Array, y_cat: jax.Array, y_cont: jax.Array):
@@ -184,7 +191,8 @@ class CondUNetTiny(nn.Module):
         maps = jnp.concatenate([t_map, c_map], axis=-1)[:, None, None, :]
         maps = jnp.broadcast_to(maps, (b, h, w, self.time_ch + self.cond_ch))
         x = jnp.concatenate([x_t.astype(dt), maps], axis=-1)
-        if self.stem == "s2d":
+        x_full = x  # pre-fold full-res input, for the "s2dr" refinement head
+        if self.stem in ("s2d", "s2dr"):
             x = _space_to_depth2(x)
 
         ci, gi = self.conv_impl, self.gn_impl
@@ -213,9 +221,15 @@ class CondUNetTiny(nn.Module):
         hh = us_conv(hh, bc, "us1_conv")
         hh = block(jnp.concatenate([hh, h1], axis=-1), bc, "up1")
 
-        if self.stem == "s2d":
+        if self.stem in ("s2d", "s2dr"):
             out = CircularConv(4, (3, 3), dtype=dt, impl=ci, name="out")(hh)
             out = _depth_to_space2(out)
+            if self.stem == "s2dr":
+                r = jnp.concatenate([out.astype(dt), x_full], axis=-1)
+                r = CircularConv(bc // 2, (3, 3), dtype=dt, impl=ci,
+                                 name="refine1")(r)
+                out = out + CircularConv(1, (3, 3), dtype=dt, impl=ci,
+                                         name="refine2")(nn.silu(r))
         else:
             out = CircularConv(1, (3, 3), dtype=dt, impl=ci, name="out")(hh)
         return out.astype(jnp.float32)
