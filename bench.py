@@ -205,34 +205,36 @@ def main() -> int:
     # scored grid in assets/FIGURES.md (benchmarks/NOTES.md "Space-to-depth
     # stem") — the headline stays on the reference-parity architecture.
     s2d_field = {}
-    try:
-        unet_s2d = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
-                                emb_dim=128, dtype=dtype, stem="s2d")
-        params_s2d = unet_s2d.init(
-            jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
-            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
-        )["params"]
+    for stem in ("s2d", "s2dr"):
+        try:
+            unet_s = CondUNetTiny(n_types=4, y_cont_dim=4,
+                                  base_ch=args.base_ch, emb_dim=128,
+                                  dtype=dtype, stem=stem)
+            params_s = unet_s.init(
+                jax.random.key(0), jnp.zeros((2, 64, 64, 1)), jnp.zeros((2,)),
+                jnp.zeros((2,), jnp.int32), jnp.zeros((2, 4)),
+            )["params"]
 
-        def apply_s2d(prm, xt, t, yc, yv):
-            return unet_s2d.apply({"params": prm}, xt, t, yc, yv)
+            def apply_s(prm, xt, t, yc, yv, m=unet_s):
+                return m.apply({"params": prm}, xt, t, yc, yv)
 
-        def run_s2d(key):
-            return checksum(sample_reverse_sde_euler_maruyama(
-                apply_s2d, params_s2d, sde, y_cat, y_cont, (b, 64, 64, 1),
-                key, n_steps=args.steps, guidance_scale=args.cfg,
-                t_end=args.t_end))
+            def run_s(key, af=apply_s, prm=params_s):
+                return checksum(sample_reverse_sde_euler_maruyama(
+                    af, prm, sde, y_cat, y_cont, (b, 64, 64, 1),
+                    key, n_steps=args.steps, guidance_scale=args.cfg,
+                    t_end=args.t_end))
 
-        jax.device_get(run_s2d(jax.random.key(0)))  # compile + warmup
-        sts = []
-        for i in range(args.repeats):
-            t0 = time.perf_counter()
-            jax.device_get(run_s2d(jax.random.key(i + 1)))
-            sts.append(time.perf_counter() - t0)
-        s2d_field["s2d_stem_img_s"] = round(b / min(sts), 1)
-        print(f"s2d-stem sampler: {b / min(sts):.1f} img/s (batch {b})",
-              file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 — context fields are best-effort
-        print(f"s2d-stem context unavailable: {e}", file=sys.stderr)
+            jax.device_get(run_s(jax.random.key(0)))  # compile + warmup
+            sts = []
+            for i in range(args.repeats):
+                t0 = time.perf_counter()
+                jax.device_get(run_s(jax.random.key(i + 1)))
+                sts.append(time.perf_counter() - t0)
+            s2d_field[f"{stem}_stem_img_s"] = round(b / min(sts), 1)
+            print(f"{stem}-stem sampler: {b / min(sts):.1f} img/s (batch {b})",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — context fields are best-effort
+            print(f"{stem}-stem context unavailable: {e}", file=sys.stderr)
 
     # Distilled serving path (scripts/distill_sde_score_model.py): N
     # single-pass DDIM evals per image, guidance baked in — the one lever

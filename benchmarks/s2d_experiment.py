@@ -55,7 +55,7 @@ def main() -> int:
     checksum = jax.jit(lambda x: jnp.sum(x))
     rows = {}
 
-    for stem in ("none", "s2d"):
+    for stem in ("none", "s2d", "s2dr"):
         model = CondUNetTiny(n_types=4, y_cont_dim=4, base_ch=args.base_ch,
                              emb_dim=128, dtype=jnp.bfloat16, stem=stem)
         params = model.init(
@@ -104,6 +104,7 @@ def main() -> int:
         }
 
     rows["s2d_speedup"] = round(rows["s2d"]["img_s"] / rows["none"]["img_s"], 3)
+    rows["s2dr_speedup"] = round(rows["s2dr"]["img_s"] / rows["none"]["img_s"], 3)
     print(json.dumps(rows))
     return 0
 
