@@ -233,6 +233,20 @@ def main() -> int:
             s2d_field[f"{stem}_stem_img_s"] = round(b / min(sts), 1)
             print(f"{stem}-stem sampler: {b / min(sts):.1f} img/s (batch {b})",
                   file=sys.stderr)
+            try:  # per-stem physics (same method as the parity block above)
+                be = 2 * b if args.cfg > 0 else b
+                fwd_s = jax.jit(apply_s).lower(
+                    params_s, jnp.zeros((be, 64, 64, 1)), jnp.zeros((be,)),
+                    jnp.zeros((be,), jnp.int32), jnp.zeros((be, 4)))
+                ca_s = fwd_s.compile().cost_analysis()
+                if isinstance(ca_s, (list, tuple)):
+                    ca_s = ca_s[0]
+                fl = float(ca_s["flops"]) * (args.steps + 1) / b
+                s2d_field[f"{stem}_tflops_per_sample"] = round(fl / 1e12, 3)
+                s2d_field[f"{stem}_mfu"] = round(
+                    (b / min(sts)) / (args.peak_tflops * 1e12 / fl), 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"{stem} cost analysis unavailable: {e}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — context fields are best-effort
             print(f"{stem}-stem context unavailable: {e}", file=sys.stderr)
 
@@ -293,23 +307,46 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001 — context fields are best-effort
         print(f"distilled-path context unavailable: {e}", file=sys.stderr)
 
+    # Headline architecture: the s2dr stem (space-to-depth trunk + full-res
+    # refinement head) is the tpu-first redesign that MATCHES the
+    # reference-grid sample quality at ~3.8x the parity architecture's
+    # throughput — trained and scored at the committed recipe (fidelity
+    # 0.895 3-seed mean vs plain 0.886-0.891; FID 2.11 vs 2.53 —
+    # assets/FIGURES.md, benchmarks/NOTES.md "s2d quality"). The
+    # reference-parity rate stays alongside as parity_arch_*.
+    value, arch = ips, "none (reference-parity)"
+    head_tflops, head_sol, head_mfu = flops_per_sample, sol, mfu
+    if "s2dr_stem_img_s" in s2d_field:
+        value, arch = s2d_field["s2dr_stem_img_s"], "s2dr"
+        if "s2dr_tflops_per_sample" in s2d_field:
+            head_tflops = s2d_field["s2dr_tflops_per_sample"] * 1e12
+            head_sol = args.peak_tflops * 1e12 / head_tflops
+            head_mfu = value / head_sol
     print(json.dumps({
         "metric": "64x64_samples_per_sec_per_chip_300step_reverse_sde_cfg",
-        "value": round(ips, 2),
+        "value": round(value, 2),
         "unit": "images/sec",
-        "vs_baseline": round(ips / 5000.0, 4),
-        "tflops_per_sample": round(flops_per_sample / 1e12, 3) if flops_per_sample else None,
-        "speed_of_light_img_s": round(sol, 1) if sol else None,
-        "mfu": round(mfu, 3) if mfu else None,
-        "vs_sol": round(ips / sol, 3) if sol else None,
+        "vs_baseline": round(value / 5000.0, 4),
+        "arch": arch,
+        "quality": "s2dr trained+scored at the committed recipe: fidelity "
+                   "0.895 (3-seed mean; plain stem 0.886-0.891), FID 2.11 "
+                   "(plain 2.53, reference grid 2.57) — assets/FIGURES.md",
+        "parity_arch_img_s": round(ips, 2),
+        "parity_arch_mfu": round(mfu, 3) if mfu else None,
+        "tflops_per_sample": round(head_tflops / 1e12, 3) if head_tflops else None,
+        "speed_of_light_img_s": round(head_sol, 1) if head_sol else None,
+        "mfu": round(head_mfu, 3) if head_mfu else None,
+        "vs_sol": round(value / head_sol, 3) if head_sol else None,
         **int8_field,
         **s2d_field,
         **distilled,
-        "note": "5000 img/s target is ~100x above single-chip speed of light "
-                "at 602 U-Net evals/sample; the distilled_*step fields are "
-                "the progressive-distillation serving path that beats it by "
-                "cutting evals (quality table: assets/FIGURES.md); see "
-                "BASELINE.md + benchmarks/NOTES.md",
+        "note": "5000 img/s target is ~100x above the parity architecture's "
+                "single-chip speed of light at 602 U-Net evals/sample; the "
+                "headline arch is the quality-matched tpu-first s2dr stem; "
+                "the distilled_*step fields are the progressive-distillation "
+                "serving path that beats the target by cutting evals "
+                "(quality table: assets/FIGURES.md); see BASELINE.md + "
+                "benchmarks/NOTES.md",
     }))
     return 0
 
