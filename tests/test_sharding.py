@@ -221,9 +221,13 @@ def test_graft_dryrun_self_provisions():
 
     root = Path(__file__).resolve().parent.parent
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # 1200 s: the dryrun now ends in a real 2-process jax.distributed leg
+    # (two more jax imports + a cluster barrier) — ~6 min alone on this
+    # 1-vCPU box, and up to 2x that when the rest of the slow tier has the
+    # core saturated (observed: 600 s trips under full-suite load)
     r = subprocess.run(
         [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(2)"],
-        cwd=root, env=env, capture_output=True, text=True, timeout=600,
+        cwd=root, env=env, capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stderr[-2000:]
 
